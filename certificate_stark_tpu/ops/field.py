@@ -1,0 +1,319 @@
+"""f63 prime-field arithmetic as vectorized JAX uint32 limb kernels.
+
+The field is F_p with p = 4719772409484279809 = 2^62 + 2^56 + 2^55 + 1 (131*2^55+1),
+the base field of the reference framework (winterfell fork `fields::f63`, used
+throughout /root/reference/src). 2-adicity is 55, so radix-2 NTTs up to 2^55.
+
+TPU-native design decisions:
+  * An element is 4 little-endian 16-bit limbs stored in uint32, on a LEADING axis:
+    an array of field elements with logical shape S has physical shape (4,) + S.
+    The trailing (lane) axes stay the large data axes, so the VPU vectorizes over
+    domain points / trace cells; limb arithmetic unrolls into straight-line uint32
+    ops that XLA fuses.
+  * Device arrays live in the Montgomery domain (R = 2^64), like the reference
+    engine: add/sub are domain-agnostic, `mul` is a fused Montgomery multiply
+    (16 partial 16x16 products + REDC). Standard-form conversion happens only at
+    host boundaries (serialization, Fiat-Shamir).
+  * Only uint32 ops are used (no uint64): everything lowers to native TPU VPU
+    int ops and is Pallas-compatible.
+
+Host-side helpers convert between Python ints / numpy uint64 and limb arrays.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+# ---------------------------------------------------------------------------
+# Field constants
+# ---------------------------------------------------------------------------
+P = 4719772409484279809  # 2^62 + 2^56 + 2^55 + 1
+TWO_ADICITY = 55
+R = 1 << 64
+R_MOD_P = R % P                      # Montgomery ONE
+R2_MOD_P = (R * R) % P               # for to_mont
+NPRIME = (-pow(P, -1, R)) % R        # -p^{-1} mod 2^64
+# multiplicative generator of F_p^* (smallest; p-1 = 2^55 * 131)
+_g = None
+for _cand in range(2, 100):
+    if pow(_cand, (P - 1) // 2, P) != 1 and pow(_cand, (P - 1) // 131, P) != 1:
+        _g = _cand
+        break
+GENERATOR = _g  # multiplicative generator of the field
+del _g, _cand
+
+MASK16 = np.uint32(0xFFFF)
+NLIMB = 4
+
+
+def _int_to_limbs(x: int) -> np.ndarray:
+    return np.array([(x >> (16 * i)) & 0xFFFF for i in range(NLIMB)], dtype=np.uint32)
+
+
+P_LIMBS = _int_to_limbs(P)
+NPRIME_LIMBS = _int_to_limbs(NPRIME)
+ONE_MONT = _int_to_limbs(R_MOD_P)     # Montgomery form of 1
+R2_LIMBS = _int_to_limbs(R2_MOD_P)
+ZERO = _int_to_limbs(0)
+
+
+# ---------------------------------------------------------------------------
+# Host conversions (numpy; object arrays of Python ints or uint64)
+# ---------------------------------------------------------------------------
+def from_int(values, mont: bool = True) -> np.ndarray:
+    """Convert an int array-like (standard form) to a limb array (4, *shape).
+
+    If mont=True (default) the result is in the Montgomery domain, matching the
+    convention for device arrays.
+    """
+    a = np.asarray(values, dtype=object)
+    a = np.vectorize(lambda v: (int(v) * (R if mont else 1)) % P, otypes=[object])(a)
+    out = np.empty((NLIMB,) + a.shape, dtype=np.uint32)
+    for i in range(NLIMB):
+        out[i] = np.vectorize(lambda v: (v >> (16 * i)) & 0xFFFF, otypes=[object])(a).astype(np.uint32)
+    return out
+
+
+def to_int(limbs, mont: bool = True) -> np.ndarray:
+    """Convert a limb array (4, *shape) back to an object array of Python ints."""
+    a = np.asarray(limbs)
+    assert a.shape[0] == NLIMB
+    acc = np.zeros(a.shape[1:], dtype=object)
+    for i in range(NLIMB):
+        acc += a[i].astype(object) << (16 * i)
+    if mont:
+        rinv = pow(R % P, P - 2, P)
+        acc = np.vectorize(lambda v: (v * rinv) % P, otypes=[object])(acc)
+    return acc
+
+
+def const(x: int, mont: bool = True) -> jnp.ndarray:
+    """Limb array for a single standard-form integer constant, shape (4,)."""
+    return jnp.asarray(_int_to_limbs((x * (R if mont else 1)) % P))
+
+
+def broadcast_const(x: int, ndim: int, mont: bool = True) -> jnp.ndarray:
+    """Constant reshaped to (4,) + (1,)*ndim for broadcasting against data."""
+    return const(x, mont).reshape((NLIMB,) + (1,) * ndim)
+
+
+# ---------------------------------------------------------------------------
+# Core limb arithmetic (jnp, uint32 only)
+# ---------------------------------------------------------------------------
+def _geq(a, b):
+    """a >= b, comparing 4-limb numbers. Returns bool array of data shape."""
+    gt = a[3] > b[3]
+    eq = a[3] == b[3]
+    for i in (2, 1, 0):
+        gt = gt | (eq & (a[i] > b[i]))
+        eq = eq & (a[i] == b[i])
+    return gt | eq
+
+
+def _sub_limbs(a, b):
+    """a - b assuming a >= b; both 4x16-bit limbs in uint32."""
+    out = []
+    borrow = jnp.uint32(0)
+    for i in range(NLIMB):
+        d = a[i] - b[i] - borrow
+        borrow = (d >> 31) & jnp.uint32(1)  # went negative -> top bit set after wrap
+        out.append(d & MASK16)
+    return out
+
+
+def _add_limbs(a, b):
+    out = []
+    carry = jnp.uint32(0)
+    for i in range(NLIMB):
+        s = a[i] + b[i] + carry
+        carry = s >> 16
+        out.append(s & MASK16)
+    return out, carry
+
+
+def _cond_sub_p(limbs):
+    """Reduce a 4-limb value < 2p into [0, p)."""
+    p = [jnp.uint32(int(x)) for x in P_LIMBS]
+    ge = _geq(limbs, p)
+    sub = _sub_limbs(limbs, p)
+    return [jnp.where(ge, s, l) for s, l in zip(sub, limbs)]
+
+
+def _stack(limbs):
+    return jnp.stack(limbs, axis=0)
+
+
+def add(a, b):
+    """Field addition; limb arrays (4, *S)."""
+    s, _ = _add_limbs(list(a), list(b))
+    return _stack(_cond_sub_p(s))
+
+
+def sub(a, b):
+    """Field subtraction."""
+    p = [jnp.uint32(int(x)) for x in P_LIMBS]
+    lt = ~_geq(list(a), list(b))
+    # a + p - b where needed; compute both branches (vector select)
+    ap, _ = _add_limbs(list(a), p)
+    d_small = _sub_limbs(ap, list(b))     # valid when a < b
+    d_big = _sub_limbs(list(a), list(b))  # valid when a >= b
+    return _stack([jnp.where(lt, s, t) for s, t in zip(d_small, d_big)])
+
+
+def neg(a):
+    zero = jnp.zeros_like(a)
+    return sub(zero, a)
+
+
+def double(a):
+    return add(a, a)
+
+
+def _mul_wide(a, b, ncols):
+    """Column sums of the schoolbook product of two 4-limb numbers.
+
+    Returns `ncols` carry-propagated 16-bit limbs (uint32). ncols=8 for a full
+    product, ncols=4 for a product truncated mod 2^64.
+    """
+    prods = [[a[i] * b[j] for j in range(NLIMB)] for i in range(NLIMB)]
+    cols = [None] * (ncols + 1)
+    for i in range(NLIMB):
+        for j in range(NLIMB):
+            k = i + j
+            if k < ncols:
+                lo = prods[i][j] & MASK16
+                cols[k] = lo if cols[k] is None else cols[k] + lo
+            if k + 1 < ncols:
+                hi = prods[i][j] >> 16
+                cols[k + 1] = hi if cols[k + 1] is None else cols[k + 1] + hi
+    out = []
+    carry = jnp.uint32(0)
+    for k in range(ncols):
+        s = cols[k] + carry
+        carry = s >> 16
+        out.append(s & MASK16)
+    return out, carry
+
+
+def mul(a, b):
+    """Montgomery multiply: returns REDC(a*b); inputs/outputs in Montgomery form."""
+    a = list(a)
+    b = list(b)
+    np_l = [jnp.uint32(int(x)) for x in NPRIME_LIMBS]
+    p_l = [jnp.uint32(int(x)) for x in P_LIMBS]
+
+    t, _ = _mul_wide(a, b, 8)                     # t = a*b, 8 limbs
+    m, _ = _mul_wide(t[:4], np_l, 4)              # m = t * n' mod 2^64
+    mp, _ = _mul_wide(m, p_l, 8)                  # m*p, 8 limbs
+    # u = (t + m*p) / 2^64 : low 4 limbs cancel; propagate their carries
+    carry = jnp.uint32(0)
+    for k in range(4):
+        s = t[k] + mp[k] + carry
+        carry = s >> 16
+    out = []
+    for k in range(4, 8):
+        s = t[k] + mp[k] + carry
+        carry = s >> 16
+        out.append(s & MASK16)
+    # result < 2p fits in 4 limbs (2p < 2^64), final carry must be 0
+    return _stack(_cond_sub_p(out))
+
+
+def square(a):
+    return mul(a, a)
+
+
+def mul_const(a, c_mont: jnp.ndarray):
+    """Multiply by a precomputed Montgomery-form constant of shape (4,)."""
+    cc = c_mont.reshape((NLIMB,) + (1,) * (a.ndim - 1))
+    return mul(a, jnp.broadcast_to(cc, a.shape))
+
+
+def pow_const(a, e: int, unroll_threshold: int = 64):
+    """a ** e for a fixed Python-int exponent.
+
+    Small exponents unroll into straight-line square/multiply; large ones (e.g.
+    p-2 for inversion, INV_ALPHA for the Rescue inverse s-box) compile a single
+    fori_loop over the bits to keep compile time flat.
+    """
+    assert e >= 0
+    ones = jnp.broadcast_to(
+        jnp.asarray(ONE_MONT).reshape((NLIMB,) + (1,) * (a.ndim - 1)), a.shape)
+    if e == 0:
+        return ones
+    if e < unroll_threshold:
+        bits = bin(e)[2:]
+        r = a
+        for bit in bits[1:]:
+            r = square(r)
+            if bit == "1":
+                r = mul(r, a)
+        return r
+
+    import jax
+
+    nbits = e.bit_length()
+    # LSB-first square-and-multiply: loop body is compiled once
+    ebits = jnp.asarray(
+        np.array([(e >> i) & 1 for i in range(nbits)], dtype=np.uint32))
+
+    def body(i, carry):
+        r, base = carry
+        bit = ebits[i] == 1
+        r = select(jnp.broadcast_to(bit, r.shape[1:]), mul(r, base), r)
+        base = square(base)
+        return (r, base)
+
+    r, _ = jax.lax.fori_loop(0, nbits, body, (ones, a))
+    return r
+
+
+def inv(a):
+    """Field inverse via a^(p-2). a must be nonzero (0 maps to 0)."""
+    return pow_const(a, P - 2)
+
+
+def from_mont(a):
+    """Montgomery -> standard form on device (REDC with 1)."""
+    one_std = jnp.asarray(_int_to_limbs(1)).reshape((NLIMB,) + (1,) * (a.ndim - 1))
+    return mul(a, jnp.broadcast_to(one_std, a.shape))
+
+
+def to_mont(a_std):
+    """Standard -> Montgomery form on device (multiply by R^2)."""
+    return mul_const(a_std, jnp.asarray(R2_LIMBS))
+
+
+def is_zero_mask(a):
+    """Boolean mask of data shape: element == 0 (works in either domain)."""
+    m = a[0] == 0
+    for i in range(1, NLIMB):
+        m = m & (a[i] == 0)
+    return m
+
+
+def select(mask, a, b):
+    """Elementwise select between two limb arrays by a data-shaped bool mask."""
+    return jnp.where(mask[None], a, b)
+
+
+def eq_mask(a, b):
+    m = a[0] == b[0]
+    for i in range(1, NLIMB):
+        m = m & (a[i] == b[i])
+    return m
+
+
+# uint64 <-> limb packing (host-side convenience; faster than object arrays)
+def pack_u64(limbs: np.ndarray) -> np.ndarray:
+    """(4, *S) uint32 limbs -> uint64 array of raw (Montgomery-domain) values."""
+    a = np.asarray(limbs, dtype=np.uint64)
+    return a[0] | (a[1] << np.uint64(16)) | (a[2] << np.uint64(32)) | (a[3] << np.uint64(48))
+
+
+def unpack_u64(vals: np.ndarray) -> np.ndarray:
+    v = np.asarray(vals, dtype=np.uint64)
+    out = np.empty((NLIMB,) + v.shape, dtype=np.uint32)
+    for i in range(NLIMB):
+        out[i] = ((v >> np.uint64(16 * i)) & np.uint64(0xFFFF)).astype(np.uint32)
+    return out

@@ -1,0 +1,16 @@
+"""Test configuration: run everything on a simulated 8-device CPU mesh so that
+single-chip and multi-chip (sharded) code paths are both exercised without TPU
+hardware. Must run before jax is imported anywhere."""
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
