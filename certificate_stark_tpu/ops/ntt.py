@@ -67,7 +67,7 @@ def bitrev_indices(n: int) -> jnp.ndarray:
         rev = np.zeros(n, dtype=np.int32)
         for b in range(bits):
             rev |= ((idx >> b) & 1) << (bits - 1 - b)
-        _bitrev_cache[n] = jnp.asarray(rev)
+        _bitrev_cache[n] = rev  # keep as numpy: safe to reuse across jit traces
     return _bitrev_cache[n]
 
 
