@@ -1,0 +1,55 @@
+"""Rescue kernels vs the Python-int golden implementation."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from certificate_stark_tpu.ops import field as F, rescue as R
+from certificate_stark_tpu.utils import rescue_ref as RR
+
+rng = np.random.default_rng(3)
+
+
+def rand_states(b):
+    return rng.integers(0, F.P, size=(14, b), dtype=np.uint64)
+
+
+def test_round_matches_reference():
+    vals = rand_states(4)
+    st = jnp.asarray(F.from_int(vals))
+    got = F.to_int(np.asarray(jax.jit(lambda s: R.apply_round(s, 0))(st)))
+    for col in range(4):
+        exp = RR.apply_round([int(v) for v in vals[:, col]], 0)
+        assert [int(x) for x in got[:, col]] == exp
+
+
+def test_permutation_batch():
+    vals = rand_states(8)
+    st = jnp.asarray(F.from_int(vals))
+    got = F.to_int(np.asarray(jax.jit(R.permutation)(st)))
+    for col in range(8):
+        exp = RR.permutation([int(v) for v in vals[:, col]])
+        assert [int(x) for x in got[:, col]] == exp
+
+
+def test_digest_and_merge():
+    data = rng.integers(0, F.P, size=(10, 3), dtype=np.uint64)  # partial chunk
+    el = jnp.asarray(F.from_int(data))
+    got = F.to_int(np.asarray(R.digest(el)))
+    for col in range(3):
+        exp = RR.digest([int(v) for v in data[:, col]])
+        assert [int(x) for x in got[:, col]] == exp
+
+    d0 = rng.integers(0, F.P, size=(7, 3), dtype=np.uint64)
+    d1 = rng.integers(0, F.P, size=(7, 3), dtype=np.uint64)
+    gm = F.to_int(np.asarray(R.merge(jnp.asarray(F.from_int(d0)), jnp.asarray(F.from_int(d1)))))
+    for col in range(3):
+        exp = RR.merge([int(v) for v in d0[:, col]], [int(v) for v in d1[:, col]])
+        assert [int(x) for x in gm[:, col]] == exp
+
+
+def test_inv_sbox_is_cube_root():
+    vals = rand_states(2)
+    st = jnp.asarray(F.from_int(vals))
+    cubed = R.sbox(st)
+    back = jax.jit(R.inv_sbox)(cubed)
+    assert np.array_equal(np.asarray(back), np.asarray(st))
