@@ -1,0 +1,92 @@
+"""Commitment hashers for the proof system.
+
+The reference commits with byte-oriented hashes (Blake3-256/Sha3-256 via
+winterfell `HashFunction`, src/lib.rs:82) and uses Rescue63 as the in-circuit /
+account-tree hash. Our TPU-native system flips the default: the proof's Merkle
+commitments and the Fiat-Shamir coin use **Rescue63 digests (7 f63 elements)**
+— algebraic hashing keeps the whole commit path in field kernels (MDS = matmul)
+and makes proofs recursion-friendly. SHA-256 is provided as the byte-oriented
+alternative (hashlib oracle, see ops/sha256.py).
+
+A Hasher provides:
+  device side: hash_columns(rows) -> digests, merge_pairs(level) -> next level
+  host side:   digest elements / merge digests with Python ints (coin + verify)
+Digests are column arrays: rescue [4, 7, B] limbs; sha256 [8, B] uint32 words.
+"""
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..ops import field as F, rescue as R, sha256 as S
+from ..utils import rescue_ref as RR
+
+
+class RescueHasher:
+    """Algebraic hasher: digests are 7 f63 elements (Montgomery limbs on device,
+    Python ints on host)."""
+
+    name = "rescue"
+    digest_len = 7  # field elements
+
+    # -- device ------------------------------------------------------------
+    def hash_columns(self, cols: jnp.ndarray) -> jnp.ndarray:
+        """cols: [4, k, B] Montgomery limbs -> [4, 7, B] digests."""
+        return R.digest(cols)
+
+    def merge_pairs(self, level: jnp.ndarray) -> jnp.ndarray:
+        """level: [4, 7, 2m] -> [4, 7, m] by merging adjacent pairs."""
+        return R.merge(level[..., 0::2], level[..., 1::2])
+
+    # -- host --------------------------------------------------------------
+    def host_digest(self, elements) -> tuple:
+        return tuple(RR.digest([int(e) % F.P for e in elements]))
+
+    def host_merge(self, d0, d1) -> tuple:
+        return tuple(RR.merge(list(d0), list(d1)))
+
+    def to_ints(self, device_digest_col) -> tuple:
+        """One digest column [4, 7] (Montgomery limbs, numpy) -> 7 ints."""
+        return tuple(int(x) for x in F.to_int(np.asarray(device_digest_col)))
+
+
+class Sha256Hasher:
+    """Byte-oriented hasher; digests are 8 uint32 big-endian words."""
+
+    name = "sha256"
+    digest_len = 8  # uint32 words
+
+    def hash_columns(self, cols: jnp.ndarray) -> jnp.ndarray:
+        """cols: [4, k, B] Montgomery limbs -> [8, B] digests.
+
+        Serialization: per element, 8-byte little-endian standard form
+        (matching the reference's BaseElement::to_bytes, rescue.rs:179-186).
+        """
+        std = F.from_mont(cols)
+        return S.sha256_words(S.felems_to_words(std))
+
+    def merge_pairs(self, level: jnp.ndarray) -> jnp.ndarray:
+        both = jnp.concatenate([level[:, 0::2], level[:, 1::2]], axis=0)  # [16, m]
+        return S.sha256_words(both)
+
+    def host_digest(self, elements) -> tuple:
+        byts = b"".join((int(e) % F.P).to_bytes(8, "little") for e in elements)
+        d = hashlib.sha256(byts).digest()
+        return tuple(int.from_bytes(d[i * 4:(i + 1) * 4], "big") for i in range(8))
+
+    def host_merge(self, d0, d1) -> tuple:
+        byts = b"".join(int(w).to_bytes(4, "big") for w in tuple(d0) + tuple(d1))
+        d = hashlib.sha256(byts).digest()
+        return tuple(int.from_bytes(d[i * 4:(i + 1) * 4], "big") for i in range(8))
+
+    def to_ints(self, device_digest_col) -> tuple:
+        return tuple(int(x) for x in np.asarray(device_digest_col))
+
+
+HASHERS = {"rescue": RescueHasher, "sha256": Sha256Hasher}
+
+
+def get_hasher(name: str):
+    return HASHERS[name]()

@@ -1,0 +1,36 @@
+"""Memoized jitted kernels shared across prover phases.
+
+Merkle-tree levels across the trace tree, composition tree, and every FRI layer
+tree reuse the same (hasher, shape) merge kernels — caching them by shape makes
+tree construction O(#distinct shapes) compiles per process instead of
+O(#trees * #levels).
+"""
+from __future__ import annotations
+
+import jax
+
+_CACHE = {}
+
+
+def merge_kernel(hasher, shape_key):
+    key = ("merge", hasher.name, shape_key)
+    if key not in _CACHE:
+        _CACHE[key] = jax.jit(hasher.merge_pairs)
+    return _CACHE[key]
+
+
+def tree_levels(hasher, leaves):
+    """Build all Merkle levels with per-shape cached merge kernels."""
+    levels = [leaves]
+    cur = leaves
+    while cur.shape[-1] > 1:
+        cur = merge_kernel(hasher, cur.shape)(cur)
+        levels.append(cur)
+    return levels
+
+
+def hash_columns_kernel(hasher, shape_key):
+    key = ("hashcols", hasher.name, shape_key)
+    if key not in _CACHE:
+        _CACHE[key] = jax.jit(hasher.hash_columns)
+    return _CACHE[key]

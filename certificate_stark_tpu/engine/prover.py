@@ -1,0 +1,329 @@
+"""The TPU STARK prover pipeline.
+
+Counterpart of winterfell's `Prover::prove` as used by every reference prover
+(src/prover.rs:101-134): trace LDE -> trace commitment -> constraint evaluation
+-> composition polynomial -> OOD frame -> DEEP composition -> FRI -> queries.
+
+Architecture: the pipeline is split at its Fiat-Shamir barriers into five
+jit-compiled phase kernels (trace/commit, composition/commit, OOD, DEEP, FRI
+layers). Each phase is one fused XLA computation over the whole LDE domain; the
+host only runs the public coin between phases and assembles the proof. Phase
+executables are cached on the Prover instance, so repeated proofs (benchmarks,
+batch proving) pay compilation once.
+
+Current scope: base-field proofs (extension_degree == 1); extension support is
+layered in via engine/extension.py.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import field as F, ntt as NTT
+from ..utils import poly_host as PH
+from . import fri as FRI
+from . import merkle as M
+from .coin import RandomCoin
+from .fieldops import BASE
+from .hasher import get_hasher
+from .proof import Proof, QueryOpening
+
+
+def _limb(x: int) -> jnp.ndarray:
+    return jnp.asarray(F.from_int(np.array([x], dtype=object)))[:, 0]  # [4]
+
+
+def _limbs(xs) -> jnp.ndarray:
+    return jnp.asarray(F.from_int(np.array(list(xs), dtype=object)))  # [4, len]
+
+
+def powers_dyn(z: jnp.ndarray, count: int) -> jnp.ndarray:
+    """[z^0 .. z^(count-1)] for a traced scalar z [4] -> [4, count]."""
+    tbl = jnp.asarray(F.ONE_MONT).reshape(4, 1)
+    zz = z.reshape(4, 1)
+    cur = 1
+    while cur < count:
+        step = jnp.broadcast_to(zz, (4, min(cur, count - cur)))
+        nxt = F.mul(tbl[:, :step.shape[1]], step)
+        tbl = jnp.concatenate([tbl, nxt], axis=1)
+        zz = F.square(zz)
+        cur *= 2
+    return tbl[:, :count]
+
+
+def eval_poly_dyn(coeffs: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
+    """Evaluate polynomials [4, ..., n] at traced point z [4]."""
+    n = coeffs.shape[-1]
+    tbl = powers_dyn(z, n).reshape((4,) + (1,) * (coeffs.ndim - 2) + (n,))
+    return NTT.sum_reduce(F.mul(coeffs, jnp.broadcast_to(tbl, coeffs.shape)))
+
+
+def _commit(hasher, data):
+    """Hash columns + build Merkle levels with shape-cached kernels."""
+    from . import kernels as K
+    leaves = K.hash_columns_kernel(hasher, data.shape)(data)
+    return K.tree_levels(hasher, leaves)
+
+
+class Prover:
+    def __init__(self, air, hasher=None):
+        self.air = air
+        opts = air.options
+        assert opts.extension_degree == 1, "extension fields: see ExtProver (WIP)"
+        self.opts = opts
+        self.n = air.trace_length
+        self.w = air.trace_width
+        self.b = opts.blowup
+        self.bn = self.b * self.n
+        self.offset = F.GENERATOR
+        self.gen_big = PH.root_of_unity(self.bn)
+        self.g_trace = PH.root_of_unity(self.n)
+        self.hasher = hasher or get_hasher(opts.hash_fn)
+        self.k = air.ce_blowup()
+        self.degrees = air.transition_degrees()
+        self.assertions = air.assertions()
+        self._build_phases()
+
+    # ------------------------------------------------------------------
+    def _build_phases(self):
+        air, n, w, b, bn, k = self.air, self.n, self.w, self.b, self.bn, self.k
+        offset, gen_big, g_trace = self.offset, self.gen_big, self.g_trace
+        hasher = self.hasher
+        comp_deg = k * n - 1
+
+        @jax.jit
+        def phase_trace(trace):
+            coeffs = NTT.intt(trace)
+            pad = [(0, 0), (0, 0), (0, (b - 1) * n)]
+            lde = NTT.ntt(NTT.coset_scale(jnp.pad(coeffs, pad), offset))
+            return coeffs, lde
+
+        # ---- host-numpy protocol tables (concrete jit constants) ----------
+        periodic = air.periodic_lde(b, offset)
+        t_adjs = [comp_deg - (d.poly_degree(n) - (n - 1)) for d in self.degrees]
+        b_adj = comp_deg - (n - 2)
+        a_steps = sorted({a.step for a in self.assertions})
+
+        xs = F.mul_const(F.np_powers(gen_big, bn), F.np_const(offset), np)
+        # transition zerofier inverse: (x^n-1) has `b` distinct coset values
+        w_b = PH.root_of_unity(bn)
+        o_n = pow(offset, n, F.P)
+        vals = [pow(o_n * pow(w_b, j * n, F.P) - 1, F.P - 2, F.P) for j in range(b)]
+        znum_inv = np.tile(F.from_int(np.array(vals, dtype=object)), bn // b)
+        g_last = pow(g_trace, n - 1, F.P)
+        bc_last = np.broadcast_to(F.np_const(g_last).reshape(4, 1), (4, bn))
+        zt_inv = F.mul(znum_inv, F.sub(xs, bc_last, np), np)
+        xpow = {}
+        for adj in set(t_adjs) | {b_adj}:
+            xpow[adj] = F.mul_const(F.np_powers(pow(gen_big, adj, F.P), bn),
+                                    F.np_const(pow(offset, adj, F.P)), np)
+        # transition constraints grouped by degree adjustment; boundary
+        # assertions grouped by step — everything evaluates as stacked batched
+        # kernels whose graph size is independent of the constraint count.
+        adj_groups = sorted(set(t_adjs))
+        adj_mask = {g: np.array([adj == g for adj in t_adjs],
+                                dtype=np.uint32).reshape(1, -1, 1)
+                    for g in adj_groups}
+        a_cols = np.array([a.column for a in self.assertions], dtype=np.int32)
+        a_vals = np.stack([F.np_const(a.value % F.P) for a in self.assertions],
+                          axis=1)[:, :, None]          # [4, nb, 1]
+        step_mask = {s: np.array([a.step == s for a in self.assertions],
+                                 dtype=np.uint32).reshape(1, -1, 1)
+                     for s in a_steps}
+        step_inv = {}
+        for s in a_steps:
+            pt = np.broadcast_to(F.np_const(pow(g_trace, s, F.P)).reshape(4, 1),
+                                 (4, bn))
+            step_inv[s] = F.inv(F.sub(xs, pt, np), xp=np)
+
+        @jax.jit
+        def phase_composition(lde, t_alpha, t_beta, b_alpha, b_beta):
+            nxt = jnp.roll(lde, -b, axis=-1)
+            evals = air.evaluate_transition(BASE, lde, nxt, periodic)
+            if isinstance(evals, (list, tuple)):
+                evals = jnp.stack(evals, axis=1)       # [4, C, bn]
+            q = F.mul(evals, zt_inv[:, None])
+            alpha_side = NTT.sum_reduce(F.mul(q, t_alpha[:, :, None]), axis=1)
+            beta_q = F.mul(q, t_beta[:, :, None])
+            comp = alpha_side
+            for g in adj_groups:
+                part = NTT.sum_reduce(beta_q * adj_mask[g], axis=1)
+                comp = F.add(comp, F.mul(part, xpow[g]))
+
+            # boundary terms
+            rows = lde[:, a_cols]                      # [4, nb, bn]
+            num = F.sub(rows, a_vals)
+            a_side = F.mul(num, b_alpha[:, :, None])
+            b_side = F.mul(num, b_beta[:, :, None])
+            bterm = None
+            for s in a_steps:
+                grp = F.add(NTT.sum_reduce(a_side * step_mask[s], axis=1),
+                            F.mul(NTT.sum_reduce(b_side * step_mask[s], axis=1),
+                                  xpow[b_adj]))
+                grp = F.mul(grp, step_inv[s])
+                bterm = grp if bterm is None else F.add(bterm, grp)
+            if bterm is not None:
+                comp = F.add(comp, bterm)
+
+            comp_coeffs = NTT.coset_scale(NTT.intt(comp), pow(offset, F.P - 2, F.P))
+            h_coeffs = comp_coeffs[..., :k * n].reshape(4, n, k).transpose(0, 2, 1)
+            h_lde = NTT.ntt(NTT.coset_scale(
+                jnp.pad(h_coeffs, [(0, 0), (0, 0), (0, (b - 1) * n)]), offset))
+            return h_coeffs, h_lde
+
+        @jax.jit
+        def phase_ood(trace_coeffs, h_coeffs, z):
+            zg = F.mul(z, _limb(g_trace))
+            zk = z
+            for _ in range(k.bit_length() - 1):
+                zk = F.square(zk)
+            return (eval_poly_dyn(trace_coeffs, z),
+                    eval_poly_dyn(trace_coeffs, zg),
+                    eval_poly_dyn(h_coeffs, zk))
+
+        @jax.jit
+        def phase_deep(lde, h_lde, ood_z, ood_zg, ood_h, g_z, g_zg, g_h, z):
+            zg = F.mul(z, _limb(g_trace))
+            zk = z
+            for _ in range(k.bit_length() - 1):
+                zk = F.square(zk)
+            inv_xz = F.inv(F.sub(xs, z[:, None]))
+            inv_xzg = F.inv(F.sub(xs, zg[:, None]))
+            inv_xzk = F.inv(F.sub(xs, zk[:, None]))
+
+            def dot_rows(rows, oods, coeffs):
+                numer = F.sub(rows, oods[:, :, None])
+                return NTT.sum_reduce(F.mul(numer, coeffs[:, :, None]), axis=1)
+
+            deep = F.mul(dot_rows(lde, ood_z, g_z), inv_xz)
+            deep = F.add(deep, F.mul(dot_rows(lde, ood_zg, g_zg), inv_xzg))
+            deep = F.add(deep, F.mul(dot_rows(h_lde, ood_h, g_h), inv_xzk))
+            return deep
+
+        self.phase_trace = phase_trace
+        self.phase_composition = phase_composition
+        self.phase_ood = phase_ood
+        self.phase_deep = phase_deep
+
+        # FRI layer kernels, one per layer size
+        self._fri_kernels = {}
+        fold = self.opts.fri_folding
+        size, o, gw = bn, offset, gen_big
+        while size > self.opts.fri_max_remainder:
+            self._fri_kernels[size] = self._make_fri_kernel(size, o, gw, fold)
+            size //= fold
+            o = pow(o, fold, F.P)
+            gw = pow(gw, fold, F.P)
+
+    def _make_fri_kernel(self, size, o, gw, fold):
+        hasher = self.hasher
+
+        def commit_kernel(cur):
+            group = cur.reshape(4, fold, size // fold)
+            return group, _commit(hasher, group)
+
+        @jax.jit
+        def fold_kernel(cur, xi):
+            folded = FRI.fold2_dyn(cur, xi, o, gw)
+            if fold == 4:
+                folded = FRI.fold2_dyn(folded, F.square(xi),
+                                       pow(o, 2, F.P), pow(gw, 2, F.P))
+            return folded
+
+        return commit_kernel, fold_kernel
+
+    # ------------------------------------------------------------------
+    def prove(self, trace: jnp.ndarray) -> Proof:
+        air, opts, hasher = self.air, self.opts, self.hasher
+        n, w, b, bn, k = self.n, self.w, self.b, self.bn, self.k
+        assert trace.shape == (4, w, n)
+
+        trace_coeffs, lde = self.phase_trace(trace)
+        trace_tree = M.MerkleTree.from_levels(hasher, _commit(hasher, lde))
+
+        coin = RandomCoin(hasher, opts.context_elements(w, n)
+                          + air.pub_inputs_elements())
+        coin.reseed(trace_tree.root())
+
+        nc, nb = len(self.degrees), len(self.assertions)
+        t_alpha = _limbs(coin.draw_felts(nc))
+        t_beta = _limbs(coin.draw_felts(nc))
+        b_alpha = _limbs(coin.draw_felts(nb))
+        b_beta = _limbs(coin.draw_felts(nb))
+
+        h_coeffs, h_lde = self.phase_composition(
+            lde, t_alpha, t_beta, b_alpha, b_beta)
+        h_tree = M.MerkleTree.from_levels(hasher, _commit(hasher, h_lde))
+        coin.reseed(h_tree.root())
+
+        z_int = coin.draw_felt()
+        z = _limb(z_int)
+        ood_z_l, ood_zg_l, ood_h_l = self.phase_ood(trace_coeffs, h_coeffs, z)
+        ood_z = [int(v) for v in F.to_int(np.asarray(ood_z_l))]
+        ood_zg = [int(v) for v in F.to_int(np.asarray(ood_zg_l))]
+        ood_h = [int(v) for v in F.to_int(np.asarray(ood_h_l))]
+        coin.reseed(hasher.host_digest(ood_z + ood_zg + ood_h))
+
+        g_z = _limbs(coin.draw_felts(w))
+        g_zg = _limbs(coin.draw_felts(w))
+        g_h = _limbs(coin.draw_felts(k))
+        deep = self.phase_deep(lde, h_lde, ood_z_l, ood_zg_l, ood_h_l,
+                               g_z, g_zg, g_h, z)
+
+        # FRI commit phase
+        fri_layers = []
+        cur = deep
+        size, o, gw = bn, self.offset, self.gen_big
+        fold = opts.fri_folding
+        while size > opts.fri_max_remainder:
+            commit_kernel, fold_kernel = self._fri_kernels[size]
+            group, levels = commit_kernel(cur)
+            tree = M.MerkleTree.from_levels(hasher, levels)
+            coin.reseed(tree.root())
+            xi = coin.draw_felt()
+            cur = fold_kernel(cur, _limb(xi))
+            fri_layers.append(FRI.FriLayer(tree, size, o, gw, group))
+            size //= fold
+            o = pow(o, fold, F.P)
+            gw = pow(gw, fold, F.P)
+        remainder = [int(v) for v in F.to_int(np.asarray(cur))]
+        coin.reseed(hasher.host_digest(remainder))
+
+        nonce = coin.grind(opts.grinding_bits)
+        coin.reseed(hasher.host_digest([nonce]))
+        positions = coin.draw_indices(opts.num_queries, bn)
+
+        lde_host = F.to_int(np.asarray(jnp.take(lde, jnp.asarray(positions), axis=-1)))
+        h_host = F.to_int(np.asarray(jnp.take(h_lde, jnp.asarray(positions), axis=-1)))
+
+        queries = []
+        for qi, pos in enumerate(positions):
+            fri_open = []
+            p_cur = pos
+            for layer in fri_layers:
+                quarter = layer.n // fold
+                leaf_idx = p_cur % quarter
+                fri_open.append((layer.values_at(leaf_idx), layer.tree.prove(leaf_idx)))
+                p_cur = leaf_idx
+            queries.append(QueryOpening(
+                index=int(pos),
+                trace_row=[int(x) for x in lde_host[:, qi]],
+                h_row=[int(x) for x in h_host[:, qi]],
+                trace_path=trace_tree.prove(int(pos)),
+                h_path=h_tree.prove(int(pos)),
+                fri_openings=fri_open,
+            ))
+
+        return Proof(
+            trace_width=w, trace_length=n, options=opts,
+            pub_inputs=air.pub_inputs_elements(),
+            trace_root=trace_tree.root(), h_root=h_tree.root(),
+            ood_trace_z=ood_z, ood_trace_zg=ood_zg, ood_h=ood_h,
+            fri_roots=[l.tree.root() for l in fri_layers],
+            fri_remainder=remainder, pow_nonce=nonce, queries=queries,
+        )
+
+
+def prove(air, trace, hasher=None) -> Proof:
+    return Prover(air, hasher).prove(trace)

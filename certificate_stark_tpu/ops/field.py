@@ -98,7 +98,11 @@ def broadcast_const(x: int, ndim: int, mont: bool = True) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# Core limb arithmetic (jnp, uint32 only)
+# Core limb arithmetic (uint32 only; parameterized over the array namespace).
+#
+# The same code runs under jax.numpy (device kernels, inside jit) and plain
+# numpy (host-side precomputation of protocol tables: twiddles, zerofiers,
+# periodic columns — concrete arrays that embed as constants in jit graphs).
 # ---------------------------------------------------------------------------
 def _geq(a, b):
     """a >= b, comparing 4-limb numbers. Returns bool array of data shape."""
@@ -113,17 +117,17 @@ def _geq(a, b):
 def _sub_limbs(a, b):
     """a - b assuming a >= b; both 4x16-bit limbs in uint32."""
     out = []
-    borrow = jnp.uint32(0)
+    borrow = np.uint32(0)
     for i in range(NLIMB):
         d = a[i] - b[i] - borrow
-        borrow = (d >> 31) & jnp.uint32(1)  # went negative -> top bit set after wrap
+        borrow = (d >> 31) & np.uint32(1)  # went negative -> top bit set after wrap
         out.append(d & MASK16)
     return out
 
 
 def _add_limbs(a, b):
     out = []
-    carry = jnp.uint32(0)
+    carry = np.uint32(0)
     for i in range(NLIMB):
         s = a[i] + b[i] + carry
         carry = s >> 16
@@ -131,42 +135,38 @@ def _add_limbs(a, b):
     return out, carry
 
 
-def _cond_sub_p(limbs):
+def _cond_sub_p(limbs, xp=jnp):
     """Reduce a 4-limb value < 2p into [0, p)."""
-    p = [jnp.uint32(int(x)) for x in P_LIMBS]
+    p = [np.uint32(int(x)) for x in P_LIMBS]
     ge = _geq(limbs, p)
     sub = _sub_limbs(limbs, p)
-    return [jnp.where(ge, s, l) for s, l in zip(sub, limbs)]
+    return [xp.where(ge, s, l) for s, l in zip(sub, limbs)]
 
 
-def _stack(limbs):
-    return jnp.stack(limbs, axis=0)
-
-
-def add(a, b):
+def add(a, b, xp=jnp):
     """Field addition; limb arrays (4, *S)."""
     s, _ = _add_limbs(list(a), list(b))
-    return _stack(_cond_sub_p(s))
+    return xp.stack(_cond_sub_p(s, xp), axis=0)
 
 
-def sub(a, b):
+def sub(a, b, xp=jnp):
     """Field subtraction."""
-    p = [jnp.uint32(int(x)) for x in P_LIMBS]
+    p = [np.uint32(int(x)) for x in P_LIMBS]
     lt = ~_geq(list(a), list(b))
     # a + p - b where needed; compute both branches (vector select)
     ap, _ = _add_limbs(list(a), p)
     d_small = _sub_limbs(ap, list(b))     # valid when a < b
     d_big = _sub_limbs(list(a), list(b))  # valid when a >= b
-    return _stack([jnp.where(lt, s, t) for s, t in zip(d_small, d_big)])
+    return xp.stack([xp.where(lt, s, t) for s, t in zip(d_small, d_big)], axis=0)
 
 
-def neg(a):
-    zero = jnp.zeros_like(a)
-    return sub(zero, a)
+def neg(a, xp=jnp):
+    zero = xp.zeros_like(a)
+    return sub(zero, a, xp)
 
 
-def double(a):
-    return add(a, a)
+def double(a, xp=jnp):
+    return add(a, a, xp)
 
 
 def _mul_wide(a, b, ncols):
@@ -187,7 +187,7 @@ def _mul_wide(a, b, ncols):
                 hi = prods[i][j] >> 16
                 cols[k + 1] = hi if cols[k + 1] is None else cols[k + 1] + hi
     out = []
-    carry = jnp.uint32(0)
+    carry = np.uint32(0)
     for k in range(ncols):
         s = cols[k] + carry
         carry = s >> 16
@@ -195,59 +195,86 @@ def _mul_wide(a, b, ncols):
     return out, carry
 
 
-def mul(a, b):
-    """Montgomery multiply: returns REDC(a*b); inputs/outputs in Montgomery form."""
-    a = list(a)
-    b = list(b)
-    np_l = [jnp.uint32(int(x)) for x in NPRIME_LIMBS]
-    p_l = [jnp.uint32(int(x)) for x in P_LIMBS]
+def _mul_wide_t(a, b, xp):
+    """Tensorized schoolbook product of limb arrays [4, *S] -> carry-normalized
+    8-limb array [8, *S].
 
-    t, _ = _mul_wide(a, b, 8)                     # t = a*b, 8 limbs
-    m, _ = _mul_wide(t[:4], np_l, 4)              # m = t * n' mod 2^64
-    mp, _ = _mul_wide(m, p_l, 8)                  # m*p, 8 limbs
-    # u = (t + m*p) / 2^64 : low 4 limbs cancel; propagate their carries
-    carry = jnp.uint32(0)
-    for k in range(4):
-        s = t[k] + mp[k] + carry
-        carry = s >> 16
+    One hardware multiply computes all 16 partial products (outer product over
+    a new limb axis); anti-diagonal column sums are padded shifts + one stacked
+    reduction. Keeps kernel graphs ~5x smaller than the scalar-unrolled form.
+    """
+    prods = a[:, None] * b[None, :]               # [4, 4, *S]
+    lo = prods & MASK16
+    hi = prods >> 16
+    tail = prods.shape[2:]
+    parts = []
+    for i in range(NLIMB):
+        # lo[i] occupies columns i..i+3; hi[i] columns i+1..i+4
+        parts.append(xp.pad(lo[i], ((i, 4 - i),) + ((0, 0),) * len(tail)))
+        parts.append(xp.pad(hi[i], ((i + 1, 3 - i),) + ((0, 0),) * len(tail)))
+    cols = xp.sum(xp.stack(parts), axis=0)        # [8, *S], each < 2^20
     out = []
-    for k in range(4, 8):
-        s = t[k] + mp[k] + carry
+    carry = np.uint32(0)
+    for k in range(8):
+        s = cols[k] + carry
         carry = s >> 16
         out.append(s & MASK16)
+    return xp.stack(out, axis=0)
+
+
+def mul(a, b, xp=jnp):
+    """Montgomery multiply: returns REDC(a*b); inputs/outputs in Montgomery form."""
+    a = xp.asarray(a)
+    b = xp.asarray(b)
+
+    t = _mul_wide_t(a, b, xp)                     # t = a*b, 8 limbs
+    shape = (4,) + (1,) * (t.ndim - 1)
+    np_l = NPRIME_LIMBS.reshape(shape)
+    p_l = P_LIMBS.reshape(shape)
+    m = _mul_wide_t(t[:4], np_l, xp)[:4]
+    mp = _mul_wide_t(m, p_l, xp)                  # m*p, 8 limbs
+    # u = (t + m*p) / 2^64 : low 4 limbs cancel; propagate their carries
+    carry = np.uint32(0)
+    out = []
+    for k in range(8):
+        s = t[k] + mp[k] + carry
+        carry = s >> 16
+        if k >= 4:
+            out.append(s & MASK16)
     # result < 2p fits in 4 limbs (2p < 2^64), final carry must be 0
-    return _stack(_cond_sub_p(out))
+    return xp.stack(_cond_sub_p(out, xp), axis=0)
 
 
-def square(a):
-    return mul(a, a)
+def square(a, xp=jnp):
+    return mul(a, a, xp)
 
 
-def mul_const(a, c_mont: jnp.ndarray):
+def mul_const(a, c_mont, xp=jnp):
     """Multiply by a precomputed Montgomery-form constant of shape (4,)."""
     cc = c_mont.reshape((NLIMB,) + (1,) * (a.ndim - 1))
-    return mul(a, jnp.broadcast_to(cc, a.shape))
+    return mul(a, xp.broadcast_to(cc, a.shape), xp)
 
 
-def pow_const(a, e: int, unroll_threshold: int = 64):
+def pow_const(a, e: int, unroll_threshold: int = 64, xp=jnp):
     """a ** e for a fixed Python-int exponent.
 
     Small exponents unroll into straight-line square/multiply; large ones (e.g.
     p-2 for inversion, INV_ALPHA for the Rescue inverse s-box) compile a single
-    fori_loop over the bits to keep compile time flat.
+    fori_loop over the bits to keep compile time flat. The numpy path always
+    uses the plain (host, vectorized) square-and-multiply loop.
     """
     assert e >= 0
-    ones = jnp.broadcast_to(
-        jnp.asarray(ONE_MONT).reshape((NLIMB,) + (1,) * (a.ndim - 1)), a.shape)
+    ones = xp.broadcast_to(
+        xp.asarray(ONE_MONT).reshape((NLIMB,) + (1,) * (a.ndim - 1)), a.shape)
     if e == 0:
         return ones
-    if e < unroll_threshold:
+    if e < unroll_threshold or xp is np:
         bits = bin(e)[2:]
         r = a
         for bit in bits[1:]:
-            r = square(r)
+            r = square(r, xp)
             if bit == "1":
-                r = mul(r, a)
+                r = mul(r, a, xp)
         return r
 
     import jax
@@ -268,20 +295,43 @@ def pow_const(a, e: int, unroll_threshold: int = 64):
     return r
 
 
-def inv(a):
+def inv(a, xp=jnp):
     """Field inverse via a^(p-2). a must be nonzero (0 maps to 0)."""
-    return pow_const(a, P - 2)
+    return pow_const(a, P - 2, xp=xp)
 
 
-def from_mont(a):
-    """Montgomery -> standard form on device (REDC with 1)."""
-    one_std = jnp.asarray(_int_to_limbs(1)).reshape((NLIMB,) + (1,) * (a.ndim - 1))
-    return mul(a, jnp.broadcast_to(one_std, a.shape))
+def from_mont(a, xp=jnp):
+    """Montgomery -> standard form (REDC with 1)."""
+    one_std = xp.asarray(_int_to_limbs(1)).reshape((NLIMB,) + (1,) * (a.ndim - 1))
+    return mul(a, xp.broadcast_to(one_std, a.shape), xp)
 
 
-def to_mont(a_std):
-    """Standard -> Montgomery form on device (multiply by R^2)."""
-    return mul_const(a_std, jnp.asarray(R2_LIMBS))
+def to_mont(a_std, xp=jnp):
+    """Standard -> Montgomery form (multiply by R^2)."""
+    return mul_const(a_std, xp.asarray(R2_LIMBS), xp)
+
+
+# ---------------------------------------------------------------------------
+# Host-side (numpy) protocol-table helpers: concrete arrays, no device work.
+# ---------------------------------------------------------------------------
+def np_const(x: int, mont: bool = True) -> np.ndarray:
+    return _int_to_limbs((int(x) * (R if mont else 1)) % P)
+
+
+def np_powers(base: int, count: int) -> np.ndarray:
+    """[base^0 .. base^(count-1)] as Montgomery limbs [4, count] (numpy)."""
+    if count == 1:
+        return ONE_MONT.reshape(4, 1).copy()
+    tbl = np.stack([ONE_MONT, np_const(base)], axis=1)
+    cur = 2
+    while cur < count:
+        m = min(cur, count - cur)
+        step = np.broadcast_to(np_const(pow(base, cur, P)).reshape(4, 1),
+                               (4, m))
+        nxt = mul(tbl[:, :m], step, np)
+        tbl = np.concatenate([tbl, nxt], axis=1)
+        cur *= 2
+    return tbl[:, :count]
 
 
 def is_zero_mask(a):

@@ -30,24 +30,12 @@ def root_of_unity(n: int) -> int:
     return pow(F.GENERATOR, (F.P - 1) // n, F.P)
 
 
-def _powers_table(base: int, count: int) -> jnp.ndarray:
-    """[base^0 .. base^(count-1)] as Montgomery limbs [4, count], built on device
-    by log-step doubling. Always constructed with concrete values (safe to call
-    from inside a jit trace)."""
-    import jax
+def _powers_table(base: int, count: int) -> np.ndarray:
+    """[base^0 .. base^(count-1)] as Montgomery limbs [4, count].
 
-    with jax.ensure_compile_time_eval():
-        if count == 1:
-            return jnp.asarray(F.ONE_MONT).reshape(4, 1)
-        tbl = jnp.stack([jnp.asarray(F.ONE_MONT), F.const(base)], axis=1)  # [4, 2]
-        cur = 2
-        while cur < count:
-            # table[cur:2cur] = table[:cur] * base^cur
-            step = F.const(pow(base, cur, F.P)).reshape(4, 1)
-            nxt = F.mul(tbl, jnp.broadcast_to(step, tbl.shape))
-            tbl = jnp.concatenate([tbl, nxt], axis=1)
-            cur *= 2
-        return tbl[:, :count]
+    Computed host-side with the numpy field core: concrete arrays are safe to
+    slice/cache across jit traces and embed as compile-time constants."""
+    return F.np_powers(base, count)
 
 
 def twiddles(n: int, inverse: bool = False) -> jnp.ndarray:

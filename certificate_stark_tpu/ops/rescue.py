@@ -65,6 +65,13 @@ def add_ark(state, round_idx, half):
     return F.add(state, jnp.broadcast_to(ark, state.shape))
 
 
+def _add_ark_dyn(state, ark_row):
+    """Add a (possibly traced-index) ARK row [4, 14] to state [4, ..., 14, B]."""
+    lead = state.ndim - 3
+    ark = ark_row.reshape((4,) + (1,) * lead + (14, 1))
+    return F.add(state, jnp.broadcast_to(ark, state.shape))
+
+
 def apply_round(state, round_idx: int):
     """One Rescue round (reference rescue.rs:246-263)."""
     state = sbox(state)
@@ -77,9 +84,20 @@ def apply_round(state, round_idx: int):
 
 
 def permutation(state):
-    for r in range(NUM_ROUNDS):
-        state = apply_round(state, r)
-    return state
+    """Full 7-round permutation as a fori_loop (one compiled round body —
+    keeps kernel graphs small enough for fast XLA compiles)."""
+    ark_tbl = jnp.asarray(ARK)  # [4, 8, 28]
+
+    def body(r, st):
+        st = sbox(st)
+        st = mds_apply(st)
+        st = _add_ark_dyn(st, ark_tbl[:, r, :14])
+        st = inv_sbox(st)
+        st = mds_apply(st)
+        st = _add_ark_dyn(st, ark_tbl[:, r, 14:])
+        return st
+
+    return jax.lax.fori_loop(0, NUM_ROUNDS, body, state)
 
 
 def digest(elements):

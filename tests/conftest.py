@@ -12,5 +12,8 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# NOTE: the persistent compilation cache is intentionally NOT enabled — the
+# XLA:CPU AOT loader in this environment rejects/degrades cached executables
+# (machine-feature mismatch), making it slower than cold compiles.
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
