@@ -1,0 +1,57 @@
+#!/usr/bin/env python
+"""Benchmark entry point (run by the driver on real TPU hardware).
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Workload: the reference's headline Rescue hash-chain benchmark
+(/root/reference/benches/rescue.rs: chain length 1024, trace 14 x 8192,
+blowup 4, 42 queries, FRI fold 4 / remainder 256) — full proof generation,
+measured warm (compile excluded; the reference's criterion timings likewise
+exclude compilation because Rust compiles ahead of time).
+
+vs_baseline: the reference publishes no numbers (BASELINE.md) and no Rust
+toolchain exists in this image to produce them; BASELINE_EST_S below is a
+provisional estimate for winterfell-0.2-era concurrent CPU proving of this
+workload on a 64-core host, to be replaced by a measured number when available.
+vs_baseline = BASELINE_EST_S / ours  (>1 means faster than the estimate).
+"""
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+BASELINE_EST_S = 1.0  # provisional; see BASELINE.md
+CHAIN = 1024
+
+
+def main():
+    from certificate_stark_tpu.engine.options import ProofOptions
+    from certificate_stark_tpu.engine import prover as PR
+    from certificate_stark_tpu.models import rescue_chain as RC
+
+    opts = ProofOptions(num_queries=42, blowup=4, grinding_bits=0,
+                       hash_fn="rescue", extension_degree=1,
+                       fri_folding=4, fri_max_remainder=256)
+    ex = RC.RescueChainExample(CHAIN, opts)
+    air = RC.RescueChainAir(CHAIN * 8, ex.pub_inputs(), opts)
+    prover = PR.Prover(air)
+
+    proof = prover.prove(ex.trace)  # warmup: compiles all phases
+    t0 = time.time()
+    proof = prover.prove(ex.trace)
+    dt = time.time() - t0
+
+    ok = ex.verify(proof)
+    assert ok
+
+    print(json.dumps({
+        "metric": f"rescue_chain_{CHAIN}_prove_wall",
+        "value": round(dt, 4),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_EST_S / dt, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,29 @@
+"""Range-proof AIR e2e (reference: src/range/tests.rs)."""
+import pytest
+
+from certificate_stark_tpu.engine.options import ProofOptions
+from certificate_stark_tpu.engine.verifier import VerificationError
+from certificate_stark_tpu.models import range as RG
+from certificate_stark_tpu.ops.field import P
+
+OPTS = ProofOptions(num_queries=14, blowup=8, hash_fn="rescue")
+
+
+def test_range_roundtrip():
+    ex = RG.RangeExample(123456789123456789, OPTS)
+    proof = ex.prove()
+    assert ex.verify(proof)
+
+
+def test_range_max_value():
+    # max input: 2^63 - 1 >= p would wrap; reference accepts up to p-1 < 2^63
+    ex = RG.RangeExample(P - 1, OPTS)
+    proof = ex.prove()
+    assert ex.verify(proof)
+
+
+def test_range_wrong_number_rejected():
+    ex = RG.RangeExample(98765, OPTS)
+    proof = ex.prove()
+    with pytest.raises(VerificationError):
+        ex.verify(proof, number=(-98765) % P)
