@@ -93,8 +93,21 @@ class Air:
         raise NotImplementedError
 
     def pub_inputs_elements(self) -> list:
-        """Field elements absorbed into the Fiat-Shamir seed."""
-        return [int(x) for x in np.asarray(self.pub_inputs, dtype=object).ravel()]
+        """Field elements absorbed into the Fiat-Shamir seed (flattened)."""
+        out = []
+
+        def rec(x):
+            if isinstance(x, (list, tuple)):
+                for y in x:
+                    rec(y)
+            elif isinstance(x, np.ndarray):
+                for y in x.ravel():
+                    rec(y)
+            else:
+                out.append(int(x))
+
+        rec(self.pub_inputs)
+        return out
 
     # -- provided -----------------------------------------------------------
     def num_transition_constraints(self) -> int:
