@@ -1,0 +1,150 @@
+"""Boundary (assertion) constraint machinery shared by prover and verifier.
+
+Supports the three winterfell assertion kinds used by the reference
+(Assertion::single/periodic/sequence, e.g. src/schnorr/air.rs:111-227):
+
+  single   (col, step, v):        numer = T_col - v,    Z = x - g^step
+  periodic (col, first, T, v):    numer = T_col - v,    Z = x^m - g^(first*m)
+  sequence (col, first, T, vals): numer = T_col - B(x), Z = x^m - g^(first*m)
+
+with m = n/T and B(x) = q(x * g^-first) where q interpolates vals over the
+size-m subgroup. Assertions sharing a divisor form one group with one
+precomputed inverse-divisor table and one degree adjustment.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..ops import field as F
+from ..utils import poly_host as PH
+from .air import Assertion, PeriodicAssertion, SequenceAssertion
+
+
+@dataclass
+class BoundaryGroup:
+    key: tuple
+    columns: np.ndarray          # int32 [g]
+    b_evals: np.ndarray          # [4, g, bn] value-poly evals on the domain
+    inv_z: np.ndarray            # [4, bn]
+    adj: int
+    # host-side data for the verifier
+    assertions: list = None
+
+
+def _divisor_inv(n, bn, offset, g_trace, m, first, xs):
+    """1/(x^m - c) on the LDE domain, exploiting the period bn/m of x^m."""
+    c = pow(g_trace, first * m, F.P)
+    w = PH.root_of_unity(bn)
+    wm = pow(w, m, F.P)
+    o_m = pow(offset, m, F.P)
+    period = bn // m if m <= bn else 1
+    # x_j^m = o^m * wm^j has period `period` in j
+    vals = []
+    cur = o_m
+    for _ in range(period):
+        vals.append(pow((cur - c) % F.P, F.P - 2, F.P))
+        cur = cur * wm % F.P
+    arr = F.from_int(np.array(vals, dtype=object))
+    return np.tile(arr, bn // period)
+
+
+def _single_inv(bn, g_trace, step, xs):
+    pt = np.broadcast_to(F.np_const(pow(g_trace, step, F.P)).reshape(4, 1), (4, bn))
+    return F.inv(F.sub(xs, pt, np), xp=np)
+
+
+def _sequence_evals(n, bn, offset, g_trace, first, T, values):
+    """B(x) evaluations on the LDE domain (host ints -> limb array [4, bn])."""
+    m = n // T
+    q = PH.intt([int(v) % F.P for v in values])
+    assert len(q) == m
+    # B(x) = q(x * g^-first): evaluate q on the coset (offset * g^-first)*<w_bn>
+    shift = offset * pow(pow(g_trace, first, F.P), F.P - 2, F.P) % F.P
+    scaled = [c * pow(shift, i, F.P) % F.P for i, c in enumerate(q)]
+    # evals at shift*w^j: since q has m coeffs, values have period bn... full NTT
+    ext = PH.ntt(scaled + [0] * (bn - m))
+    # NOTE: NTT evaluates sum c_i y^i at y = w_bn^j with the shift folded into
+    # coefficients; that yields q(shift * w^j) only if we scaled by shift^i ✓
+    return F.from_int(np.array(ext, dtype=object))
+
+
+def group_assertions(assertions, n):
+    groups = {}
+    for a in assertions:
+        if isinstance(a, Assertion):
+            key = ("s", a.step)
+        else:
+            key = ("p", a.first_step, a.period)
+        groups.setdefault(key, []).append(a)
+    return groups
+
+
+def quotient_degree(key, n):
+    if key[0] == "s":
+        return n - 2
+    m = n // key[2]
+    return n - 1 - m
+
+
+def build_boundary_tables(assertions, n, bn, blowup, offset, g_trace,
+                          comp_deg, xs):
+    """Precompute per-group tables (host numpy)."""
+    out = []
+    for key, group in group_assertions(assertions, n).items():
+        cols = np.array([a.column for a in group], dtype=np.int32)
+        evs = []
+        for a in group:
+            if isinstance(a, SequenceAssertion):
+                evs.append(_sequence_evals(n, bn, offset, g_trace,
+                                           a.first_step, a.period, a.values))
+            else:
+                evs.append(np.broadcast_to(
+                    F.np_const(a.value % F.P).reshape(4, 1), (4, bn)))
+        b_evals = np.stack(evs, axis=1)  # [4, g, bn]
+        if key[0] == "s":
+            inv_z = _single_inv(bn, g_trace, key[1], xs)
+        else:
+            m = n // key[2]
+            inv_z = _divisor_inv(n, bn, offset, g_trace, m, key[1], xs)
+        out.append(BoundaryGroup(key=key, columns=cols, b_evals=b_evals,
+                                 inv_z=inv_z,
+                                 adj=comp_deg - quotient_degree(key, n),
+                                 assertions=group))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# host-side (verifier) evaluation at the OOD point z
+# ---------------------------------------------------------------------------
+def verify_boundary_at(assertions, n, g_trace, z, comp_deg, ood_row, coeffs):
+    """Sum of boundary composition terms at z. coeffs: [(alpha, beta)] aligned
+    with `assertions` order."""
+    total = 0
+    groups = group_assertions(assertions, n)
+    flat = [a for g in groups.values() for a in g]
+    # coefficient lookup by identity/order: caller aligns coeffs with the
+    # original assertion order
+    cmap = {id(a): c for a, c in zip(assertions, coeffs)}
+    for key, group in groups.items():
+        if key[0] == "s":
+            zden = (z - pow(g_trace, key[1], F.P)) % F.P
+        else:
+            m = n // key[2]
+            zden = (pow(z, m, F.P) - pow(g_trace, key[1] * m, F.P)) % F.P
+        inv = pow(zden, F.P - 2, F.P)
+        adj = comp_deg - quotient_degree(key, n)
+        zadj = pow(z, adj, F.P)
+        for a in group:
+            alpha, beta = cmap[id(a)]
+            if isinstance(a, SequenceAssertion):
+                m = n // a.period
+                q = PH.intt([int(v) % F.P for v in a.values])
+                y = z * pow(pow(g_trace, a.first_step, F.P), F.P - 2, F.P) % F.P
+                bval = PH.eval_poly(q, y)
+            else:
+                bval = a.value % F.P
+            qv = (ood_row[a.column] - bval) * inv % F.P
+            total = (total + qv * (alpha + beta * zadj)) % F.P
+    return total

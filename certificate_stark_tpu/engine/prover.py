@@ -102,8 +102,6 @@ class Prover:
         # ---- host-numpy protocol tables (concrete jit constants) ----------
         periodic = air.periodic_lde(b, offset)
         t_adjs = [comp_deg - (d.poly_degree(n) - (n - 1)) for d in self.degrees]
-        b_adj = comp_deg - (n - 2)
-        a_steps = sorted({a.step for a in self.assertions})
 
         xs = F.mul_const(F.np_powers(gen_big, bn), F.np_const(offset), np)
         # transition zerofier inverse: (x^n-1) has `b` distinct coset values
@@ -114,28 +112,25 @@ class Prover:
         g_last = pow(g_trace, n - 1, F.P)
         bc_last = np.broadcast_to(F.np_const(g_last).reshape(4, 1), (4, bn))
         zt_inv = F.mul(znum_inv, F.sub(xs, bc_last, np), np)
-        xpow = {}
-        for adj in set(t_adjs) | {b_adj}:
-            xpow[adj] = F.mul_const(F.np_powers(pow(gen_big, adj, F.P), bn),
-                                    F.np_const(pow(offset, adj, F.P)), np)
         # transition constraints grouped by degree adjustment; boundary
-        # assertions grouped by step — everything evaluates as stacked batched
-        # kernels whose graph size is independent of the constraint count.
+        # assertions grouped by divisor — everything evaluates as stacked
+        # batched kernels whose graph size is independent of constraint count.
+        from .boundary import build_boundary_tables
+        self.b_tables = build_boundary_tables(self.assertions, n, bn, b,
+                                              offset, g_trace, comp_deg, xs)
+        # original-order coefficient indices per boundary group
+        pos = {id(a): i for i, a in enumerate(self.assertions)}
+        for grp in self.b_tables:
+            grp.coeff_idx = np.array([pos[id(a)] for a in grp.assertions],
+                                     dtype=np.int32)
         adj_groups = sorted(set(t_adjs))
         adj_mask = {g: np.array([adj == g for adj in t_adjs],
                                 dtype=np.uint32).reshape(1, -1, 1)
                     for g in adj_groups}
-        a_cols = np.array([a.column for a in self.assertions], dtype=np.int32)
-        a_vals = np.stack([F.np_const(a.value % F.P) for a in self.assertions],
-                          axis=1)[:, :, None]          # [4, nb, 1]
-        step_mask = {s: np.array([a.step == s for a in self.assertions],
-                                 dtype=np.uint32).reshape(1, -1, 1)
-                     for s in a_steps}
-        step_inv = {}
-        for s in a_steps:
-            pt = np.broadcast_to(F.np_const(pow(g_trace, s, F.P)).reshape(4, 1),
-                                 (4, bn))
-            step_inv[s] = F.inv(F.sub(xs, pt, np), xp=np)
+        xpow = {}
+        for adj in set(t_adjs) | {grp.adj for grp in self.b_tables}:
+            xpow[adj] = F.mul_const(F.np_powers(pow(gen_big, adj, F.P), bn),
+                                    F.np_const(pow(offset, adj, F.P)), np)
 
         @jax.jit
         def phase_composition(lde, t_alpha, t_beta, b_alpha, b_beta):
@@ -151,20 +146,16 @@ class Prover:
                 part = NTT.sum_reduce(beta_q * adj_mask[g], axis=1)
                 comp = F.add(comp, F.mul(part, xpow[g]))
 
-            # boundary terms
-            rows = lde[:, a_cols]                      # [4, nb, bn]
-            num = F.sub(rows, a_vals)
-            a_side = F.mul(num, b_alpha[:, :, None])
-            b_side = F.mul(num, b_beta[:, :, None])
-            bterm = None
-            for s in a_steps:
-                grp = F.add(NTT.sum_reduce(a_side * step_mask[s], axis=1),
-                            F.mul(NTT.sum_reduce(b_side * step_mask[s], axis=1),
-                                  xpow[b_adj]))
-                grp = F.mul(grp, step_inv[s])
-                bterm = grp if bterm is None else F.add(bterm, grp)
-            if bterm is not None:
-                comp = F.add(comp, bterm)
+            # boundary terms: per divisor group, stacked over its assertions
+            for grp in self.b_tables:
+                rows = lde[:, grp.columns]             # [4, g, bn]
+                num = F.sub(rows, grp.b_evals)
+                a_side = NTT.sum_reduce(
+                    F.mul(num, b_alpha[:, grp.coeff_idx, None]), axis=1)
+                b_side = NTT.sum_reduce(
+                    F.mul(num, b_beta[:, grp.coeff_idx, None]), axis=1)
+                term = F.add(a_side, F.mul(b_side, xpow[grp.adj]))
+                comp = F.add(comp, F.mul(term, grp.inv_z))
 
             comp_coeffs = NTT.coset_scale(NTT.intt(comp), pow(offset, F.P - 2, F.P))
             h_coeffs = comp_coeffs[..., :k * n].reshape(4, n, k).transpose(0, 2, 1)

@@ -101,11 +101,10 @@ def verify(air_class, proof, pub_inputs, air_kwargs=None):
         q = cz * zt_inv % F.P
         adj = comp_deg - (dg.poly_degree(n) - (n - 1))
         comp_z = (comp_z + q * (alpha + beta * pow(z, adj, F.P))) % F.P
-    for (alpha, beta), a in zip(b_coeffs, assertions):
-        q = (proof.ood_trace_z[a.column] - a.value) * \
-            pow(z - pow(g_trace, a.step, F.P), F.P - 2, F.P) % F.P
-        adj = comp_deg - ((n - 1) - 1)
-        comp_z = (comp_z + q * (alpha + beta * pow(z, adj, F.P))) % F.P
+    from .boundary import verify_boundary_at
+    comp_z = (comp_z + verify_boundary_at(
+        assertions, n, g_trace, z, comp_deg,
+        [int(v) for v in proof.ood_trace_z], b_coeffs)) % F.P
 
     h_at_z = sum(hm * pow(z, m, F.P) for m, hm in enumerate(proof.ood_h)) % F.P
     if comp_z % F.P != h_at_z:

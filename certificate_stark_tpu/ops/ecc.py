@@ -1,0 +1,204 @@
+"""Vectorized fp6 / Cheetah-curve ops for constraint evaluation (generic over
+the fx field facade; data layout [..., coord, B] with the fp6-coordinate axis
+second-to-last).
+
+The fp6 multiply batches all 18 base-field products of its six Karatsuba fp2
+multiplies into ONE stacked field multiply, keeping kernel graphs small: an
+fp6 mul is 1 mul instance + ~25 add/sub instances.
+
+Formulas mirror reference src/utils/ecc.rs (fp2 = fp[u]/(u^2-2u-2),
+fp6 = fp2[v]/(v^3+v+1); RCB-style complete addition for y^2 = x^3 + x + b).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def _cat(parts):
+    return jnp.concatenate(parts, axis=-2)
+
+
+def f6_add(fx, a, b):
+    return fx.add(a, b)
+
+
+def f6_sub(fx, a, b):
+    return fx.sub(a, b)
+
+
+def f6_double(fx, a):
+    return fx.add(a, a)
+
+
+def f6_mul(fx, a, b):
+    """fp6 multiply: a, b [..., 6, B] -> [..., 6, B]."""
+    a0, a1, a2 = a[..., 0:2, :], a[..., 2:4, :], a[..., 4:6, :]
+    b0, b1, b2 = b[..., 0:2, :], b[..., 2:4, :], b[..., 4:6, :]
+    pairs = [(a0, b0), (a1, b1), (a2, b2),
+             (fx.add(a0, a1), fx.add(b0, b1)),
+             (fx.add(a0, a2), fx.add(b0, b2)),
+             (fx.add(a1, a2), fx.add(b1, b2))]
+    ls, rs = [], []
+    for x, y in pairs:
+        x0, x1 = x[..., 0:1, :], x[..., 1:2, :]
+        y0, y1 = y[..., 0:1, :], y[..., 1:2, :]
+        ls += [x0, x1, fx.sub(x0, x1)]
+        rs += [y0, y1, fx.sub(y1, y0)]
+    prod = fx.mul(_cat(ls), _cat(rs))  # [..., 18, B]
+
+    def fp2(k):
+        u = prod[..., 3 * k:3 * k + 1, :]
+        v = prod[..., 3 * k + 1:3 * k + 2, :]
+        w = prod[..., 3 * k + 2:3 * k + 3, :]
+        c0 = fx.add(u, fx.add(v, v))
+        c1 = fx.add(fx.add(v, c0), w)
+        return _cat([c0, c1])
+
+    aa, bb, cc, ab, ac, bc = (fp2(k) for k in range(6))
+    tmp = fx.add(fx.add(aa, bb), cc)
+    c0 = fx.sub(tmp, bc)
+    c1 = fx.sub(fx.sub(ab, bc), cc)
+    c2 = fx.add(fx.sub(fx.sub(ac, tmp), cc), fx.add(bb, bb))
+    return _cat([c0, c1, c2])
+
+
+def f6_square(fx, a):
+    return f6_mul(fx, a, a)
+
+
+# ---------------------------------------------------------------------------
+# point ops on stacked projective points [..., 18, B] (X||Y||Z), mirroring the
+# exact mul/add sequences of ecc.rs (formula-identical intermediates).
+# ---------------------------------------------------------------------------
+def compute_double(fx, pt, b3):
+    x, y, z = pt[..., 0:6, :], pt[..., 6:12, :], pt[..., 12:18, :]
+    m = lambda u, v: f6_mul(fx, u, v)
+    a = lambda u, v: fx.add(u, v)
+    s = lambda u, v: fx.sub(u, v)
+    d = lambda u: fx.add(u, u)
+
+    t0 = m(x, x)
+    t1 = m(y, y)
+    t2 = m(z, z)
+    t3 = d(m(x, y))
+    z3 = d(m(x, z))
+    y3 = m(b3, t2)
+    y3 = a(z3, y3)
+    x3 = s(t1, y3)
+    y3 = a(t1, y3)
+    y3 = m(x3, y3)
+    x3 = m(t3, x3)
+    z3 = m(b3, z3)
+    t3 = s(t0, t2)
+    t3 = a(t3, z3)
+    z3 = d(t0)
+    t0 = a(z3, t0)
+    t0 = a(t0, t2)
+    t0 = m(t0, t3)
+    y3 = a(y3, t0)
+    t2 = d(m(y, z))
+    t0 = m(t2, t3)
+    x3 = s(x3, t0)
+    z3 = d(m(t2, t1))
+    z3 = d(z3)
+    return _cat([x3, y3, z3])
+
+
+def compute_add(fx, pt1, pt2, b3):
+    x1, y1, z1 = pt1[..., 0:6, :], pt1[..., 6:12, :], pt1[..., 12:18, :]
+    x2, y2, z2 = pt2[..., 0:6, :], pt2[..., 6:12, :], pt2[..., 12:18, :]
+    m = lambda u, v: f6_mul(fx, u, v)
+    a = lambda u, v: fx.add(u, v)
+    s = lambda u, v: fx.sub(u, v)
+    d = lambda u: fx.add(u, u)
+
+    t0 = m(x1, x2)
+    t1 = m(y1, y2)
+    t2 = m(z1, z2)
+    t3 = s(m(a(x1, y1), a(x2, y2)), a(t0, t1))
+    t4 = s(m(a(x1, z1), a(x2, z2)), a(t0, t2))
+    t5 = s(m(a(y1, z1), a(y2, z2)), a(t1, t2))
+    x3 = m(b3, t2)
+    z3 = a(x3, t4)
+    x3 = s(t1, z3)
+    z3 = a(t1, z3)
+    y3 = m(x3, z3)
+    t1 = a(d(t0), t0)
+    t4 = m(b3, t4)
+    t1 = a(t1, t2)
+    t2 = s(t0, t2)
+    t4 = a(t4, t2)
+    t0 = m(t1, t4)
+    y3 = a(y3, t0)
+    t0 = m(t5, t4)
+    x3 = s(m(t3, x3), t0)
+    t0 = m(t3, t1)
+    z3 = a(m(t5, z3), t0)
+    return _cat([x3, y3, z3])
+
+
+def compute_add_mixed(fx, pt1, pt2_affine, b3):
+    x1, y1, z1 = pt1[..., 0:6, :], pt1[..., 6:12, :], pt1[..., 12:18, :]
+    x2, y2 = pt2_affine[..., 0:6, :], pt2_affine[..., 6:12, :]
+    m = lambda u, v: f6_mul(fx, u, v)
+    a = lambda u, v: fx.add(u, v)
+    s = lambda u, v: fx.sub(u, v)
+    d = lambda u: fx.add(u, u)
+
+    t0 = m(x1, x2)
+    t1 = m(y1, y2)
+    t3 = s(m(a(x2, y2), a(x1, y1)), a(t0, t1))
+    t4 = a(m(x2, z1), x1)
+    t5 = a(m(y2, z1), y1)
+    x3 = m(z1, b3)
+    z3 = a(x3, t4)
+    x3 = s(t1, z3)
+    z3 = a(t1, z3)
+    y3 = m(x3, z3)
+    t1 = a(d(t0), t0)
+    t4 = m(t4, b3)
+    t1 = a(t1, z1)
+    t2 = s(t0, z1)
+    t4 = a(t4, t2)
+    t0 = m(t1, t4)
+    y3 = a(y3, t0)
+    t0 = m(t5, t4)
+    x3 = s(m(t3, x3), t0)
+    t0 = m(t3, t1)
+    z3 = a(m(t5, z3), t0)
+    return _cat([x3, y3, z3])
+
+
+# ---------------------------------------------------------------------------
+# constraint evaluators (ecc.rs:73-172); results returned stacked [..., 19, B]
+# or [..., 18, B] -- caller aggregates into its result slots.
+# ---------------------------------------------------------------------------
+def enforce_point_doubling(fx, cur19, nxt19, flag, b3):
+    """19 constraint rows: 18 doubling equalities + 1 binary bit check."""
+    dbl = compute_double(fx, cur19[..., 0:18, :], b3)
+    eqs = fx.mul(fx.sub(nxt19[..., 0:18, :], dbl), flag)
+    bit = cur19[..., 18:19, :]
+    binc = fx.mul(fx.sub(fx.mul(bit, bit), bit), flag)
+    return _cat([eqs, binc])
+
+
+def enforce_point_addition_mixed(fx, cur19, nxt19, point12, flag, b3):
+    """19 rows: conditional-add equalities + bit-copy check."""
+    added = compute_add_mixed(fx, cur19[..., 0:18, :], point12, b3)
+    bit = cur19[..., 18:19, :]
+    one = fx.const(1, bit.ndim - 1)
+    not_bit = fx.sub(one, bit)
+    expect = fx.add(fx.mul(added, bit), fx.mul(cur19[..., 0:18, :], not_bit))
+    eqs = fx.mul(fx.sub(nxt19[..., 0:18, :], expect), flag)
+    bitcopy = fx.mul(fx.sub(cur19[..., 18:19, :], nxt19[..., 18:19, :]), flag)
+    return _cat([eqs, bitcopy])
+
+
+def enforce_point_addition_reduce_x(fx, cur18, nxt18, point18, flag, b3):
+    """18 rows: full addition with affine-x reduction on the first 6
+    (x * Z == X check), plus Y/Z equalities."""
+    added = compute_add(fx, cur18, point18, b3)
+    x_z = f6_mul(fx, nxt18[..., 0:6, :], added[..., 12:18, :])
+    first = fx.sub(x_z, added[..., 0:6, :])
+    rest = fx.sub(nxt18[..., 6:18, :], added[..., 6:18, :])
+    return fx.mul(_cat([first, rest]), flag)

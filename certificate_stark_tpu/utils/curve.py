@@ -1,0 +1,117 @@
+"""Cheetah-f63 curve host utilities: point arithmetic over fp6, Schnorr
+sign/verify, witness-side scalar ops.
+
+Curve form (derived from reference src/utils/ecc.rs, see DESIGN.md):
+    E: y^2 = x^3 + x + b   over fp6 = fp2[v]/(v^3+v+1), fp2 = fp[u]/(u^2-2u-2)
+The reference instance's b lives in fp6 with an unrecoverable group order
+(fork-only); our default instance uses b = B0 in F_p (params/curve_subfield.py)
+whose order was computed by point counting + zeta lift, giving a ~125-bit prime
+scalar field SCALAR_Q. The in-circuit formulas and trace layout are identical;
+only the curve constant differs (swappable when the fork's order is known).
+"""
+from __future__ import annotations
+
+from . import field_ref as FR
+from . import rescue_ref as RR
+from ..params import curve_subfield as CS
+from ..params.data import P
+
+B0 = CS.B0
+SCALAR_Q = CS.SCALAR_Q
+N6 = CS.N6
+COFACTOR = CS.COFACTOR
+
+B6 = FR.f6_scalar(B0)
+A6 = FR.f6_scalar(1)
+B3_LIMBS = [(3 * B0) % P, 0, 0, 0, 0, 0]  # in-circuit b3 constant
+
+
+# ---- affine point ops (None = infinity) -----------------------------------
+def on_curve(pt) -> bool:
+    if pt is None:
+        return True
+    x, y = pt
+    lhs = FR.f6_mul(y, y)
+    rhs = FR.f6_add(FR.f6_add(FR.f6_mul(x, FR.f6_mul(x, x)), x), B6)
+    return lhs == rhs
+
+
+def add(p1, p2):
+    if p1 is None:
+        return p2
+    if p2 is None:
+        return p1
+    x1, y1 = p1
+    x2, y2 = p2
+    if x1 == x2:
+        if FR.f6_is_zero(FR.f6_add(y1, y2)):
+            return None
+        num = FR.f6_add(FR.f6_mul(FR.f6_scalar(3), FR.f6_mul(x1, x1)), A6)
+        den = FR.f6_inv(FR.f6_mul(FR.f6_scalar(2), y1))
+    else:
+        num = FR.f6_sub(y2, y1)
+        den = FR.f6_inv(FR.f6_sub(x2, x1))
+    lam = FR.f6_mul(num, den)
+    x3 = FR.f6_sub(FR.f6_sub(FR.f6_mul(lam, lam), x1), x2)
+    y3 = FR.f6_sub(FR.f6_mul(lam, FR.f6_sub(x1, x3)), y1)
+    return (x3, y3)
+
+
+def mul(k: int, pt):
+    r = None
+    k = int(k)
+    while k:
+        if k & 1:
+            r = add(r, pt)
+        pt = add(pt, pt)
+        k >>= 1
+    return r
+
+
+def generator():
+    from ..params import curve_subfield_gen as G
+    return (FR.f6_from_limbs(G.GX), FR.f6_from_limbs(G.GY))
+
+
+def pkey_coords(skey: int) -> list:
+    """Affine (x||y) 12 limbs of skey*G."""
+    x, y = mul(skey, generator())
+    return FR.f6_to_limbs(x) + FR.f6_to_limbs(y)
+
+
+# ---- Schnorr (reference src/schnorr/mod.rs:197-288) ------------------------
+def hash_message(r_x6, message28) -> list:
+    """h = iterated Rescue hash of (R_x || message), 7 elements."""
+    h = RR.digest(list(r_x6))
+    for i in range(4):
+        h = RR.merge(h, list(message28[7 * i:7 * i + 7]))
+    return h
+
+
+def h_to_scalar_bits(h7) -> list:
+    """255 bits from the first 4 digest limbs' 8-byte LE serialization
+    (schnorr/mod.rs:205-213 + trace bit usage)."""
+    byts = b"".join(int(x).to_bytes(8, "little") for x in h7[:4])
+    v = int.from_bytes(byts, "little")
+    return [(v >> i) & 1 for i in range(256)]
+
+
+def sign(message28, skey: int, rng) -> tuple:
+    r = rng.randrange(1, SCALAR_Q)
+    R = mul(r, generator())
+    h = hash_message(FR.f6_to_limbs(R[0]), message28)
+    h_scalar = int.from_bytes(
+        b"".join(int(x).to_bytes(8, "little") for x in h[:4]), "little") % SCALAR_Q
+    s = (r - skey * h_scalar) % SCALAR_Q
+    return (FR.f6_to_limbs(R[0]), s)
+
+
+def verify_signature(message28, signature) -> bool:
+    r_x, s = signature
+    pk = (FR.f6_from_limbs(message28[0:6]), FR.f6_from_limbs(message28[6:12]))
+    assert on_curve(pk)
+    h = hash_message(list(r_x), message28)
+    h_scalar = int.from_bytes(
+        b"".join(int(x).to_bytes(8, "little") for x in h[:4]), "little") % SCALAR_Q
+    R = add(mul(s, generator()), mul(h_scalar, pk))
+    return R is not None and FR.f6_to_limbs(R[0]) == list(r_x)
