@@ -132,7 +132,6 @@ class MerkleUpdateAir(Air):
         for j in range(2 * R.STATE_WIDTH):
             cols.append([D.RESCUE_ARK[i][j] for i in range(R.CYCLE_LENGTH)])
         return np.array(cols, dtype=object)
-
     def evaluate_transition(self, fx, current, nxt, periodic):
         setup = fx.col(periodic, 0)[:, None]
         tx_hash = fx.col(periodic, 1)[:, None]
@@ -141,89 +140,15 @@ class MerkleUpdateAir(Air):
         hash_flag = fx.col(periodic, 4)[:, None]
         ark0 = fx.cols(periodic, 5, 19)
         ark1 = fx.cols(periodic, 19, 33)
-        one = fx.const(1, current.ndim - 1)  # broadcasts against [4,1,B] flags
-        not_finish = fx.sub(one, finish)
-        not_input = fx.sub(one, fx.add(hash_flag, hash_input))
-        copy_flag = fx.mul(tx_hash, not_input)
-        init_flag = fx.mul(tx_hash, hash_input)
 
         res = [None] * 106
 
         def agg(idx, val):
             res[idx] = val if res[idx] is None else fx.add(res[idx], val)
 
-        # ---- auth clusters (sender at 0/15 -> res 0..29; receiver at 29/44
-        # -> res 29..58) -----------------------------------------------------
-        for res_base, tr_base, bit_pos in ((0, S_INIT, S_BIT), (29, R_INIT, R_BIT)):
-            bit_el = fx.col(nxt, bit_pos)
-            bit = bit_el[:, None]
-            not_bit = fx.sub(one, bit)
-            agg(res_base + 14, fx.mul(
-                fx.sub(fx.mul(bit_el, bit_el), bit_el), tx_hash[:, 0]))
-            for roff, reg in ((0, tr_base), (15, tr_base + 15)):
-                cur14 = fx.cols(current, reg, reg + 14)
-                nxt14 = fx.cols(nxt, reg, reg + 14)
-                round_c = fx.mul(C.rescue_enforce_round(fx, cur14, nxt14, ark0, ark1),
-                                 hash_flag)
-                for i in range(14):
-                    agg(res_base + roff + i, round_c[:, i])
-                cp = fx.mul(fx.sub(fx.cols(current, reg, reg + 7),
-                                   fx.cols(nxt, reg, reg + 7)), copy_flag)
-                ini = fx.mul(fx.mul(fx.sub(fx.cols(current, reg, reg + 7),
-                                           fx.cols(nxt, reg, reg + 7)), not_bit),
-                             init_flag)
-                mv = fx.mul(fx.mul(fx.sub(fx.cols(current, reg, reg + 7),
-                                          fx.cols(nxt, reg + 7, reg + 14)), bit),
-                            init_flag)
-                for i in range(7):
-                    agg(res_base + roff + i, fx.add(cp[:, i], ini[:, i]))
-                    agg(res_base + roff + 7 + i, mv[:, i])
-            # same-sibling constraints between old/new clusters
-            sib_lo = fx.mul(fx.mul(fx.sub(fx.cols(nxt, tr_base + 15, tr_base + 22),
-                                          fx.cols(nxt, tr_base, tr_base + 7)), bit),
-                            init_flag)
-            sib_hi = fx.mul(fx.mul(fx.sub(fx.cols(nxt, tr_base + 22, tr_base + 29),
-                                          fx.cols(nxt, tr_base + 7, tr_base + 14)),
-                                   not_bit), init_flag)
-            for i in range(7):
-                agg(res_base + i, sib_lo[:, i])
-                agg(res_base + 7 + i, sib_hi[:, i])
-
-        # ---- previous-root carry (res 58..65) -------------------------------
-        keep = fx.mul(fx.sub(fx.cols(nxt, PREV_ROOT, PREV_ROOT + 7),
-                             fx.cols(current, PREV_ROOT, PREV_ROOT + 7)), not_finish)
-        load = fx.mul(fx.sub(fx.cols(nxt, PREV_ROOT, PREV_ROOT + 7),
-                             fx.cols(nxt, R_UPD, R_UPD + 7)), finish)
-        for i in range(7):
-            agg(58 + i, fx.add(keep[:, i], load[:, i]))
-
-        # ---- setup copies (res 65..92) --------------------------------------
-        s_keys = fx.mul(fx.sub(fx.cols(current, S_INIT, S_INIT + 12),
-                               fx.cols(current, S_UPD, S_UPD + 12)), setup)
-        r_keys = fx.mul(fx.sub(fx.cols(current, R_INIT, R_INIT + 12),
-                               fx.cols(current, R_UPD, R_UPD + 12)), setup)
-        for i in range(12):
-            agg(65 + i, s_keys[:, i])
-            agg(65 + 12 + i, r_keys[:, i])
-        agg(89, fx.mul(fx.sub(fx.col(current, R_INIT + 13),
-                              fx.col(current, R_UPD + 13)), setup[:, 0]))
-        bal = fx.sub(fx.sub(fx.col(current, S_INIT + 12), fx.col(current, S_UPD + 12)),
-                     fx.sub(fx.col(current, R_UPD + 12), fx.col(current, R_INIT + 12)))
-        agg(90, fx.mul(bal, setup[:, 0]))
-        one_el = fx.const(1, current.ndim - 2)  # broadcasts against [4,B]
-        nonce = fx.sub(fx.col(current, S_UPD + 13),
-                       fx.add(fx.col(current, S_INIT + 13), one_el))
-        agg(91, fx.mul(nonce, setup[:, 0]))
-
-        # ---- intermediate-root equality (92..99) / prev-root match (99..106)
-        int_eq = fx.mul(fx.sub(fx.cols(current, S_UPD, S_UPD + 7),
-                               fx.cols(current, R_INIT, R_INIT + 7)), finish)
-        pm = fx.mul(fx.sub(fx.cols(nxt, S_INIT, S_INIT + 7),
-                           fx.cols(current, PREV_ROOT, PREV_ROOT + 7)), finish)
-        for i in range(7):
-            agg(92 + i, int_eq[:, i])
-            agg(99 + i, pm[:, i])
-
+        evaluate_setup_values(fx, current, agg, setup)
+        evaluate_merkle_auth(fx, current, nxt, agg, ark0, ark1, tx_hash,
+                             hash_input, finish, hash_flag)
         return fx.stack(res, axis=1)
 
     def assertions(self):
@@ -256,3 +181,88 @@ class MerkleUpdateExample:
         from ..engine import verifier as V
         return V.verify(MerkleUpdateAir, proof, pub_inputs or self.pub_inputs(),
                         air_kwargs={"depth": self.depth})
+
+
+def evaluate_setup_values(fx, current, agg, setup):
+    """Key/balance/nonce value constraints at transaction setup
+    (update/air.rs:84-134); result slots 65..92."""
+    s_keys = fx.mul(fx.sub(fx.cols(current, S_INIT, S_INIT + 12),
+                           fx.cols(current, S_UPD, S_UPD + 12)), setup)
+    r_keys = fx.mul(fx.sub(fx.cols(current, R_INIT, R_INIT + 12),
+                           fx.cols(current, R_UPD, R_UPD + 12)), setup)
+    for i in range(12):
+        agg(65 + i, s_keys[:, i])
+        agg(65 + 12 + i, r_keys[:, i])
+    agg(89, fx.mul(fx.sub(fx.col(current, R_INIT + 13),
+                          fx.col(current, R_UPD + 13)), setup[:, 0]))
+    bal = fx.sub(fx.sub(fx.col(current, S_INIT + 12), fx.col(current, S_UPD + 12)),
+                 fx.sub(fx.col(current, R_UPD + 12), fx.col(current, R_INIT + 12)))
+    agg(90, fx.mul(bal, setup[:, 0]))
+    one_el = fx.const(1, current.ndim - 2)  # broadcasts against [4,B]
+    nonce = fx.sub(fx.col(current, S_UPD + 13),
+                   fx.add(fx.col(current, S_INIT + 13), one_el))
+    agg(91, fx.mul(nonce, setup[:, 0]))
+
+
+def evaluate_merkle_auth(fx, current, nxt, agg, ark0, ark1, tx_hash,
+                         hash_input, finish, hash_flag):
+    """Merkle authentication-path constraints (update/air.rs:215-369);
+    result slots 0..65 + 92..106."""
+    one = fx.const(1, current.ndim - 1)  # broadcasts against [4,1,B] flags
+    not_finish = fx.sub(one, finish)
+    not_input = fx.sub(one, fx.add(hash_flag, hash_input))
+    copy_flag = fx.mul(tx_hash, not_input)
+    init_flag = fx.mul(tx_hash, hash_input)
+
+    # auth clusters (sender at 0/15 -> res 0..29; receiver at 29/44 -> 29..58)
+    for res_base, tr_base, bit_pos in ((0, S_INIT, S_BIT), (29, R_INIT, R_BIT)):
+        bit_el = fx.col(nxt, bit_pos)
+        bit = bit_el[:, None]
+        not_bit = fx.sub(one, bit)
+        agg(res_base + 14, fx.mul(
+            fx.sub(fx.mul(bit_el, bit_el), bit_el), tx_hash[:, 0]))
+        for roff, reg in ((0, tr_base), (15, tr_base + 15)):
+            cur14 = fx.cols(current, reg, reg + 14)
+            nxt14 = fx.cols(nxt, reg, reg + 14)
+            round_c = fx.mul(C.rescue_enforce_round(fx, cur14, nxt14, ark0, ark1),
+                             hash_flag)
+            for i in range(14):
+                agg(res_base + roff + i, round_c[:, i])
+            cp = fx.mul(fx.sub(fx.cols(current, reg, reg + 7),
+                               fx.cols(nxt, reg, reg + 7)), copy_flag)
+            ini = fx.mul(fx.mul(fx.sub(fx.cols(current, reg, reg + 7),
+                                       fx.cols(nxt, reg, reg + 7)), not_bit),
+                         init_flag)
+            mv = fx.mul(fx.mul(fx.sub(fx.cols(current, reg, reg + 7),
+                                      fx.cols(nxt, reg + 7, reg + 14)), bit),
+                        init_flag)
+            for i in range(7):
+                agg(res_base + roff + i, fx.add(cp[:, i], ini[:, i]))
+                agg(res_base + roff + 7 + i, mv[:, i])
+        # same-sibling constraints between old/new clusters
+        sib_lo = fx.mul(fx.mul(fx.sub(fx.cols(nxt, tr_base + 15, tr_base + 22),
+                                      fx.cols(nxt, tr_base, tr_base + 7)), bit),
+                        init_flag)
+        sib_hi = fx.mul(fx.mul(fx.sub(fx.cols(nxt, tr_base + 22, tr_base + 29),
+                                      fx.cols(nxt, tr_base + 7, tr_base + 14)),
+                               not_bit), init_flag)
+        for i in range(7):
+            agg(res_base + i, sib_lo[:, i])
+            agg(res_base + 7 + i, sib_hi[:, i])
+
+    # previous-root carry (res 58..65)
+    keep = fx.mul(fx.sub(fx.cols(nxt, PREV_ROOT, PREV_ROOT + 7),
+                         fx.cols(current, PREV_ROOT, PREV_ROOT + 7)), not_finish)
+    load = fx.mul(fx.sub(fx.cols(nxt, PREV_ROOT, PREV_ROOT + 7),
+                         fx.cols(nxt, R_UPD, R_UPD + 7)), finish)
+    for i in range(7):
+        agg(58 + i, fx.add(keep[:, i], load[:, i]))
+
+    # intermediate-root equality (92..99) / prev-root match (99..106)
+    int_eq = fx.mul(fx.sub(fx.cols(current, S_UPD, S_UPD + 7),
+                           fx.cols(current, R_INIT, R_INIT + 7)), finish)
+    pm = fx.mul(fx.sub(fx.cols(nxt, S_INIT, S_INIT + 7),
+                       fx.cols(current, PREV_ROOT, PREV_ROOT + 7)), finish)
+    for i in range(7):
+        agg(92 + i, int_eq[:, i])
+        agg(99 + i, pm[:, i])

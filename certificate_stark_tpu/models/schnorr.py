@@ -39,8 +39,9 @@ def _gen12():
     return list(G.GX) + list(G.GY)
 
 
-def sig_rows(message28, signature):
-    """One signature's 512 trace rows (host ints; schnorr/trace.rs:18-122)."""
+def build_sig_info(message28, signature):
+    """(pkey12, s_bits, h_bits) for trace generation
+    (schnorr/trace.rs:127-142)."""
     r_x, s = signature
     pkey12 = [int(v) % F.P for v in message28[:12]]
     s_bits = [(int(s) >> i) & 1 for i in range(256)]
@@ -48,44 +49,61 @@ def sig_rows(message28, signature):
     h_int = int.from_bytes(
         b"".join(int(x).to_bytes(8, "little") for x in h[:4]), "little")
     h_bits = [(h_int >> i) & 1 for i in range(256)]
-    gen12 = _gen12()
+    return pkey12, s_bits, h_bits
 
-    row = [0] * TRACE_WIDTH
-    row[PCW] = 1                      # y(S) = 1 (identity-ish start)
+
+def init_sig_state(row, r_x):
+    """Schnorr start state written into row[0:56] (schnorr/trace.rs:18-30)."""
+    row[0:TRACE_WIDTH] = [0] * TRACE_WIDTH
+    row[PCW] = 1                      # y(S) = 1
     row[PPW + 1 + PCW] = 1            # y(h.P) = 1
     row[42:48] = [int(v) % F.P for v in r_x]
+
+
+def sig_step(row, step, message28, pkey12, s_bits, h_bits, gen12):
+    """One schnorr transition applied in place to row[0:56]
+    (schnorr/trace.rs:35-122); `step` is signature-relative."""
+    if step < 8 * NUM_HASH_ITER:
+        rs = step % 8
+        if rs < 7:
+            row[42:56] = RR.apply_round(row[42:56], step)
+        elif step < (NUM_HASH_ITER - 1) * 8:
+            idx = step // 8
+            row[49:56] = [int(v) % F.P for v in message28[7 * idx:7 * idx + 7]]
+        else:
+            row[49:56] = [0] * 7
+    if step < SCALAR_MUL_LENGTH:
+        real = step // 2
+        chunk = 0 if real < 63 else (real - 63) // 64 + 1
+        row[PPW] = s_bits[254 - real]
+        row[2 * PPW + 1] = h_bits[254 - real]
+        if step % 2 == 0:
+            row[0:18] = ER.compute_double(row[0:18])
+            row[19:37] = ER.compute_double(row[19:37])
+            vp = 41 - chunk
+            row[vp] = (2 * row[vp] + row[37]) % F.P
+        else:
+            if row[PPW] == 1:
+                row[0:18] = ER.compute_add_mixed(row[0:18], gen12)
+            if row[2 * PPW + 1] == 1:
+                row[19:37] = ER.compute_add_mixed(row[19:37], pkey12)
+    elif step == SCALAR_MUL_LENGTH:
+        hp = list(row[19:37])
+        row[PPW] = 1
+        row[0:18] = ER.compute_add(row[0:18], hp)
+        row[0:6] = ER.to_affine_x(row[0:18])
+
+
+def sig_rows(message28, signature):
+    """One signature's 512 trace rows (host ints; schnorr/trace.rs:18-122)."""
+    pkey12, s_bits, h_bits = build_sig_info(message28, signature)
+    gen12 = _gen12()
+    row = [0] * TRACE_WIDTH
+    init_sig_state(row, signature[0])
     rows = [list(row)]
     for step in range(SIG_CYCLE - 1):
         row = list(row)
-        if step < 8 * NUM_HASH_ITER:
-            rs = step % 8
-            if rs < 7:
-                row[42:56] = RR.apply_round(row[42:56], step)
-            elif step < (NUM_HASH_ITER - 1) * 8:
-                idx = step // 8
-                row[49:56] = [int(v) % F.P for v in message28[7 * idx:7 * idx + 7]]
-            else:
-                row[49:56] = [0] * 7
-        if step < SCALAR_MUL_LENGTH:
-            real = step // 2
-            chunk = 0 if real < 63 else (real - 63) // 64 + 1
-            row[PPW] = s_bits[254 - real]
-            row[2 * PPW + 1] = h_bits[254 - real]
-            if step % 2 == 0:
-                row[0:18] = ER.compute_double(row[0:18])
-                row[19:37] = ER.compute_double(row[19:37])
-                vp = 41 - chunk
-                row[vp] = (2 * row[vp] + row[37]) % F.P
-            else:
-                if row[PPW] == 1:
-                    row[0:18] = ER.compute_add_mixed(row[0:18], gen12)
-                if row[2 * PPW + 1] == 1:
-                    row[19:37] = ER.compute_add_mixed(row[19:37], pkey12)
-        elif step == SCALAR_MUL_LENGTH:
-            hp = list(row[19:37])
-            row[PPW] = 1
-            row[0:18] = ER.compute_add(row[0:18], hp)
-            row[0:6] = ER.to_affine_x(row[0:18])
+        sig_step(row, step, message28, pkey12, s_bits, h_bits, gen12)
         rows.append(row)
     return rows
 
@@ -96,6 +114,70 @@ def build_trace(messages, signatures) -> jnp.ndarray:
         all_rows.extend(sig_rows(msg, sig))
     arr = np.array(all_rows, dtype=object).T
     return jnp.asarray(F.from_int(arr))
+
+
+def evaluate_schnorr(fx, current, nxt, agg, ark0, ark1, doubling, addition,
+                     digest_flags, pkey, final_flag, hash_flag, copy_hash,
+                     internal):
+    """Schnorr constraint block (schnorr/air.rs:394-531), aggregating into
+    result slots 0..56 via `agg`. Shared by the standalone and composed AIRs
+    (the composed AIR passes pkey/internal built from its copy registers)."""
+    one = fx.const(1, current.ndim - 1)
+    b3 = jnp.asarray(F.from_int(np.array(CV.B3_LIMBS, dtype=object)))[:, :, None]
+    b3 = jnp.broadcast_to(b3, (4, 6) + current.shape[2:])
+    gen12 = jnp.asarray(F.from_int(np.array(_gen12(), dtype=object)))[:, :, None]
+    gen12 = jnp.broadcast_to(gen12, (4, 12) + current.shape[2:])
+
+    # ---- point 1: S = s*G ------------------------------------------------
+    cur1 = fx.cols(current, 0, 19)
+    nxt1 = fx.cols(nxt, 0, 19)
+    dbl = E.enforce_point_doubling(fx, cur1, nxt1, doubling, b3)
+    addm = E.enforce_point_addition_mixed(fx, cur1, nxt1, gen12, addition, b3)
+    red = E.enforce_point_addition_reduce_x(
+        fx, fx.cols(current, 0, 18), fx.cols(nxt, 0, 18),
+        fx.cols(current, 19, 37), final_flag, b3)
+    for i in range(19):
+        agg(i, fx.add(dbl[:, i], addm[:, i]))
+    for i in range(18):
+        agg(i, red[:, i])
+
+    # ---- point 2: h*P ----------------------------------------------------
+    cur2 = fx.cols(current, 19, 38)
+    nxt2 = fx.cols(nxt, 19, 38)
+    dbl2 = E.enforce_point_doubling(fx, cur2, nxt2, doubling, b3)
+    addm2 = E.enforce_point_addition_mixed(fx, cur2, nxt2, pkey, addition, b3)
+    for i in range(19):
+        agg(19 + i, fx.add(dbl2[:, i], addm2[:, i]))
+
+    # ---- h-limb accumulators (rows 38..42) -------------------------------
+    hbit = fx.col(nxt, 37)
+    for i, dflag in enumerate(digest_flags):
+        vp = 41 - i
+        acc = fx.sub(fx.col(nxt, vp),
+                     fx.add(fx.double(fx.col(current, vp)), hbit))
+        agg(vp, fx.mul(acc, fx.mul(dflag, doubling)[:, 0]))
+        # copy outside its double-and-add window
+        cp = fx.sub(fx.col(current, vp), fx.col(nxt, vp))
+        agg(vp, fx.mul(cp, fx.mul(fx.sub(one, dflag), doubling)[:, 0]))
+    for i in range(4):
+        cp = fx.sub(fx.col(current, 38 + i), fx.col(nxt, 38 + i))
+        agg(38 + i, fx.mul(cp, addition[:, 0]))
+        eq = fx.sub(fx.col(current, 38 + i), fx.col(current, 42 + i))
+        agg(38 + i, fx.mul(eq, final_flag[:, 0]))
+
+    # ---- hash rows (42..56) ---------------------------------------------
+    hcur = fx.cols(current, 42, 56)
+    hnxt = fx.cols(nxt, 42, 56)
+    round_c = fx.mul(C.rescue_enforce_round(fx, hcur, hnxt, ark0, ark1),
+                     hash_flag)
+    cp7 = fx.mul(fx.sub(fx.cols(current, 42, 49), fx.cols(nxt, 42, 49)),
+                 copy_hash)
+    rate = fx.mul(fx.sub(fx.cols(nxt, 49, 56), internal), copy_hash)
+    for i in range(14):
+        agg(42 + i, round_c[:, i])
+    for i in range(7):
+        agg(42 + i, cp7[:, i])
+        agg(49 + i, rate[:, i])
 
 
 class SchnorrAir(Air):
@@ -178,69 +260,15 @@ class SchnorrAir(Air):
         copy_hash = fx.mul(fx.sub(one, hash_flag), global_mask)
         final_flag = fx.mul(fx.sub(one, scalar_flag), global_mask)
         addition = fx.mul(fx.sub(one, doubling), scalar_flag)
-        b3 = jnp.broadcast_to(
-            jnp.asarray(F.from_int(np.array(CV.B3_LIMBS, dtype=object)))[:, :, None],
-            (4, 6) + current.shape[2:])
-        gen12 = jnp.broadcast_to(
-            jnp.asarray(F.from_int(np.array(_gen12(), dtype=object)))[:, :, None],
-            (4, 12) + current.shape[2:])
 
         res = [None] * TRACE_WIDTH
 
         def agg(idx, val):
             res[idx] = val if res[idx] is None else fx.add(res[idx], val)
 
-        # ---- point 1: S = s*G ------------------------------------------------
-        cur1 = fx.cols(current, 0, 19)
-        nxt1 = fx.cols(nxt, 0, 19)
-        dbl = E.enforce_point_doubling(fx, cur1, nxt1, doubling, b3)
-        addm = E.enforce_point_addition_mixed(fx, cur1, nxt1, gen12, addition, b3)
-        red = E.enforce_point_addition_reduce_x(
-            fx, fx.cols(current, 0, 18), fx.cols(nxt, 0, 18),
-            fx.cols(current, 19, 37), final_flag, b3)
-        for i in range(19):
-            agg(i, fx.add(dbl[:, i], addm[:, i]))
-        for i in range(18):
-            agg(i, red[:, i])
-
-        # ---- point 2: h*P ----------------------------------------------------
-        cur2 = fx.cols(current, 19, 38)
-        nxt2 = fx.cols(nxt, 19, 38)
-        dbl2 = E.enforce_point_doubling(fx, cur2, nxt2, doubling, b3)
-        addm2 = E.enforce_point_addition_mixed(fx, cur2, nxt2, pkey, addition, b3)
-        for i in range(19):
-            agg(19 + i, fx.add(dbl2[:, i], addm2[:, i]))
-
-        # ---- h-limb accumulators (rows 38..42) -------------------------------
-        hbit = fx.col(nxt, 37)
-        for i, dflag in enumerate(digest_flags):
-            vp = 41 - i
-            acc = fx.sub(fx.col(nxt, vp),
-                         fx.add(fx.double(fx.col(current, vp)), hbit))
-            agg(vp, fx.mul(acc, fx.mul(dflag, doubling)[:, 0]))
-            # copy outside its double-and-add window
-            cp = fx.sub(fx.col(current, vp), fx.col(nxt, vp))
-            agg(vp, fx.mul(cp, fx.mul(fx.sub(one, dflag), doubling)[:, 0]))
-        for i in range(4):
-            cp = fx.sub(fx.col(current, 38 + i), fx.col(nxt, 38 + i))
-            agg(38 + i, fx.mul(cp, addition[:, 0]))
-            eq = fx.sub(fx.col(current, 38 + i), fx.col(current, 42 + i))
-            agg(38 + i, fx.mul(eq, final_flag[:, 0]))
-
-        # ---- hash rows (42..56) ---------------------------------------------
-        hcur = fx.cols(current, 42, 56)
-        hnxt = fx.cols(nxt, 42, 56)
-        round_c = fx.mul(C.rescue_enforce_round(fx, hcur, hnxt, ark0, ark1),
-                         hash_flag)
-        cp7 = fx.mul(fx.sub(fx.cols(current, 42, 49), fx.cols(nxt, 42, 49)),
-                     copy_hash)
-        rate = fx.mul(fx.sub(fx.cols(nxt, 49, 56), internal), copy_hash)
-        for i in range(14):
-            agg(42 + i, round_c[:, i])
-        for i in range(7):
-            agg(42 + i, cp7[:, i])
-            agg(49 + i, rate[:, i])
-
+        evaluate_schnorr(fx, current, nxt, agg, ark0, ark1, doubling, addition,
+                         digest_flags, pkey, final_flag, hash_flag, copy_hash,
+                         internal)
         return fx.stack(res, axis=1)
 
     def assertions(self):

@@ -57,7 +57,7 @@ def f6_mul(fx, a, b):
     aa, bb, cc, ab, ac, bc = (fp2(k) for k in range(6))
     tmp = fx.add(fx.add(aa, bb), cc)
     c0 = fx.sub(tmp, bc)
-    c1 = fx.sub(fx.sub(ab, bc), cc)
+    c1 = fx.sub(fx.sub(ab, bc), aa)
     c2 = fx.add(fx.sub(fx.sub(ac, tmp), cc), fx.add(bb, bb))
     return _cat([c0, c1, c2])
 
