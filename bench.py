@@ -16,16 +16,30 @@ workload on a 64-core host, to be replaced by a measured number when available.
 vs_baseline = BASELINE_EST_S / ours  (>1 means faster than the estimate).
 """
 import json
+import os
 import sys
 import time
 
 sys.path.insert(0, "/root/repo")
 
 BASELINE_EST_S = 1.0  # provisional; see BASELINE.md
-CHAIN = 1024
+CHAIN = int(os.environ.get("BENCH_CHAIN", "1024"))
+
+
+def _ensure_backend():
+    """Fall back to CPU if the TPU backend is unreachable (tunnel flakiness)."""
+    import jax
+    try:
+        jax.devices()
+    except Exception as e:  # noqa: BLE001
+        print(f"# TPU backend unavailable ({type(e).__name__}); CPU fallback",
+              file=sys.stderr)
+        jax.config.update("jax_platforms", "cpu")
+        jax.devices()
 
 
 def main():
+    _ensure_backend()
     from certificate_stark_tpu.engine.options import ProofOptions
     from certificate_stark_tpu.engine import prover as PR
     from certificate_stark_tpu.models import rescue_chain as RC

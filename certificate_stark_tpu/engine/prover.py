@@ -66,6 +66,13 @@ def _commit(hasher, data):
     return K.tree_levels(hasher, leaves)
 
 
+# module-level cache of compiled phase kernels, shared by Prover instances
+# proving the same AIR shape with different public inputs (pub-input-dependent
+# data — boundary value evals and periodic columns — are kernel arguments).
+# Assumes evaluate_transition depends on pub inputs only through `periodic`.
+_PHASE_CACHE = {}
+
+
 class Prover:
     def __init__(self, air, hasher=None):
         self.air = air
@@ -83,7 +90,28 @@ class Prover:
         self.k = air.ce_blowup()
         self.degrees = air.transition_degrees()
         self.assertions = air.assertions()
-        self._build_phases()
+        self._periodic = air.periodic_lde(self.b, self.offset)
+        key = (air.__class__.__name__, self.n, self.w, repr(opts),
+               self.hasher.name, getattr(air, "depth", None))
+        if key not in _PHASE_CACHE:
+            self._build_phases()
+            _PHASE_CACHE[key] = (self.phase_trace, self.phase_composition,
+                                 self.phase_ood, self.phase_deep,
+                                 self._fri_kernels, self._b_struct)
+        else:
+            (self.phase_trace, self.phase_composition, self.phase_ood,
+             self.phase_deep, self._fri_kernels, self._b_struct) = _PHASE_CACHE[key]
+        # per-instance (pub-input-dependent) boundary value evaluations,
+        # ordered to match the cached group structure
+        from .boundary import build_boundary_tables
+        xs = F.mul_const(F.np_powers(self.gen_big, self.bn),
+                         F.np_const(self.offset), np)
+        tables = build_boundary_tables(self.assertions, self.n, self.bn, self.b,
+                                       self.offset, self.g_trace,
+                                       self.k * self.n - 1, xs)
+        assert [t.key for t in tables] == [g["key"] for g in self._b_struct], \
+            "assertion structure differs across instances of the same AIR shape"
+        self._b_evals = tuple(jnp.asarray(t.b_evals) for t in tables)
 
     # ------------------------------------------------------------------
     def _build_phases(self):
@@ -100,7 +128,6 @@ class Prover:
             return coeffs, lde
 
         # ---- host-numpy protocol tables (concrete jit constants) ----------
-        periodic = air.periodic_lde(b, offset)
         t_adjs = [comp_deg - (d.poly_degree(n) - (n - 1)) for d in self.degrees]
 
         xs = F.mul_const(F.np_powers(gen_big, bn), F.np_const(offset), np)
@@ -116,24 +143,33 @@ class Prover:
         # assertions grouped by divisor — everything evaluates as stacked
         # batched kernels whose graph size is independent of constraint count.
         from .boundary import build_boundary_tables
-        self.b_tables = build_boundary_tables(self.assertions, n, bn, b,
-                                              offset, g_trace, comp_deg, xs)
+        b_tables = build_boundary_tables(self.assertions, n, bn, b,
+                                         offset, g_trace, comp_deg, xs)
         # original-order coefficient indices per boundary group
         pos = {id(a): i for i, a in enumerate(self.assertions)}
-        for grp in self.b_tables:
-            grp.coeff_idx = np.array([pos[id(a)] for a in grp.assertions],
-                                     dtype=np.int32)
+        b_struct = []
+        for grp in b_tables:
+            b_struct.append({
+                "key": grp.key,
+                "columns": grp.columns,
+                "coeff_idx": np.array([pos[id(a)] for a in grp.assertions],
+                                      dtype=np.int32),
+                "adj": grp.adj,
+                "inv_z": grp.inv_z,
+            })
+        self._b_struct = b_struct
         adj_groups = sorted(set(t_adjs))
         adj_mask = {g: np.array([adj == g for adj in t_adjs],
                                 dtype=np.uint32).reshape(1, -1, 1)
                     for g in adj_groups}
         xpow = {}
-        for adj in set(t_adjs) | {grp.adj for grp in self.b_tables}:
+        for adj in set(t_adjs) | {g["adj"] for g in b_struct}:
             xpow[adj] = F.mul_const(F.np_powers(pow(gen_big, adj, F.P), bn),
                                     F.np_const(pow(offset, adj, F.P)), np)
 
         @jax.jit
-        def phase_composition(lde, t_alpha, t_beta, b_alpha, b_beta):
+        def phase_composition(lde, t_alpha, t_beta, b_alpha, b_beta,
+                              periodic, b_evals):
             nxt = jnp.roll(lde, -b, axis=-1)
             evals = air.evaluate_transition(BASE, lde, nxt, periodic)
             if isinstance(evals, (list, tuple)):
@@ -147,15 +183,15 @@ class Prover:
                 comp = F.add(comp, F.mul(part, xpow[g]))
 
             # boundary terms: per divisor group, stacked over its assertions
-            for grp in self.b_tables:
-                rows = lde[:, grp.columns]             # [4, g, bn]
-                num = F.sub(rows, grp.b_evals)
+            for gi, grp in enumerate(b_struct):
+                rows = lde[:, grp["columns"]]          # [4, g, bn]
+                num = F.sub(rows, b_evals[gi])
                 a_side = NTT.sum_reduce(
-                    F.mul(num, b_alpha[:, grp.coeff_idx, None]), axis=1)
+                    F.mul(num, b_alpha[:, grp["coeff_idx"], None]), axis=1)
                 b_side = NTT.sum_reduce(
-                    F.mul(num, b_beta[:, grp.coeff_idx, None]), axis=1)
-                term = F.add(a_side, F.mul(b_side, xpow[grp.adj]))
-                comp = F.add(comp, F.mul(term, grp.inv_z))
+                    F.mul(num, b_beta[:, grp["coeff_idx"], None]), axis=1)
+                term = F.add(a_side, F.mul(b_side, xpow[grp["adj"]]))
+                comp = F.add(comp, F.mul(term, grp["inv_z"]))
 
             comp_coeffs = NTT.coset_scale(NTT.intt(comp), pow(offset, F.P - 2, F.P))
             h_coeffs = comp_coeffs[..., :k * n].reshape(4, n, k).transpose(0, 2, 1)
@@ -244,7 +280,9 @@ class Prover:
         b_beta = _limbs(coin.draw_felts(nb))
 
         h_coeffs, h_lde = self.phase_composition(
-            lde, t_alpha, t_beta, b_alpha, b_beta)
+            lde, t_alpha, t_beta, b_alpha, b_beta,
+            jnp.asarray(self._periodic) if self._periodic is not None
+            else jnp.zeros((4, 0, self.bn), jnp.uint32), self._b_evals)
         h_tree = M.MerkleTree.from_levels(hasher, _commit(hasher, h_lde))
         coin.reseed(h_tree.root())
 
