@@ -67,38 +67,6 @@ class FriLayer:
         return [int(v) for v in F.to_int(col)]
 
 
-def commit(evals: jnp.ndarray, offset: int, gen: int, coin, hasher, options):
-    """Run the FRI commit phase. Returns (layers, remainder_ints).
-
-    evals: [4, n] DEEP evaluations over the LDE domain (base field for now).
-    The coin is reseeded with each layer root before drawing its xi, and with a
-    digest of the remainder at the end.
-    """
-    folding = options.fri_folding
-    layers = []
-    cur, o, w = evals, offset, gen
-    n = cur.shape[-1]
-    while n > options.fri_max_remainder:
-        # leaf i groups evaluations {i + k*(n/folding)}
-        group = cur.reshape(4, folding, n // folding)
-        tree = M.MerkleTree(hasher, hasher.hash_columns(group))
-        layers.append(FriLayer(tree, n, o, w, group))
-        coin.reseed(tree.root())
-        xi = coin.draw_felt()
-        if folding == 4:
-            cur = fold2(cur, xi, o, w)
-            cur = fold2(cur, xi * xi % F.P, pow(o, 2, F.P), pow(w, 2, F.P))
-            o, w = pow(o, 4, F.P), pow(w, 4, F.P)
-            n //= 4
-        else:
-            cur = fold2(cur, xi, o, w)
-            o, w = pow(o, 2, F.P), pow(w, 2, F.P)
-            n //= 2
-    remainder = [int(v) for v in F.to_int(np.asarray(cur))]
-    coin.reseed(coin.h.host_digest(remainder))
-    return layers, remainder
-
-
 # ---------------------------------------------------------------------------
 # host-side verification helpers
 # ---------------------------------------------------------------------------
