@@ -17,6 +17,7 @@ from ..ops import field as F
 
 class BaseFieldOps:
     degree = 1
+    xp = jnp
 
     add = staticmethod(F.add)
     sub = staticmethod(F.sub)
@@ -24,6 +25,7 @@ class BaseFieldOps:
     square = staticmethod(F.square)
     neg = staticmethod(F.neg)
     double = staticmethod(F.double)
+    inv = staticmethod(F.inv)
 
     @staticmethod
     def const(x: int, ndim: int = 1):
@@ -36,6 +38,10 @@ class BaseFieldOps:
     @staticmethod
     def stack(elems, axis=1):
         return jnp.stack(elems, axis=axis)
+
+    @classmethod
+    def cat(cls, parts, axis=-2):
+        return cls.xp.concatenate(parts, axis=axis)
 
     # -- structure accessors (limbs axis 0, data axes after) ---------------
     @staticmethod
@@ -71,3 +77,53 @@ class BaseFieldOps:
 
 
 BASE = BaseFieldOps()
+
+
+import numpy as _np  # noqa: E402
+
+
+class NPFieldOps(BaseFieldOps):
+    """Host-numpy twin of BaseFieldOps: same semantics on concrete arrays.
+
+    Used for vectorized witness/trace generation (batched across transactions)
+    without touching the device or paying jit compiles."""
+
+    degree = 1
+    xp = _np
+
+    add = staticmethod(lambda a, b: F.add(a, b, _np))
+    sub = staticmethod(lambda a, b: F.sub(a, b, _np))
+    mul = staticmethod(lambda a, b: F.mul(a, b, _np))
+    square = staticmethod(lambda a: F.square(a, _np))
+    neg = staticmethod(lambda a: F.neg(a, _np))
+    double = staticmethod(lambda a: F.add(a, a, _np))
+    inv = staticmethod(lambda a: F.inv(a, _np))
+
+    @staticmethod
+    def const(x: int, ndim: int = 1):
+        return F.np_const(x).reshape((4,) + (1,) * ndim)
+
+    @staticmethod
+    def zeros_like(a):
+        return _np.zeros_like(a)
+
+    @staticmethod
+    def stack(elems, axis=1):
+        return _np.stack(elems, axis=axis)
+
+    @staticmethod
+    def rescue_mds(state):
+        from ..ops import rescue as R
+        return R.mds_apply(state, xp=_np)
+
+    @staticmethod
+    def rescue_inv_mds(state):
+        from ..ops import rescue as R
+        return R.mds_apply(state, R.INV_MDS, xp=_np)
+
+    @staticmethod
+    def sbox3(state):
+        return F.mul(state, F.square(state, _np), _np)
+
+
+NP = NPFieldOps()

@@ -109,6 +109,10 @@ def tx_rows(t, depth, message, signature):
 
 
 def build_trace(md, messages) -> jnp.ndarray:
+    if len(md.deltas) > 8:
+        # batched numpy path (identical output; see models/trace_np.py)
+        from . import trace_np as TN
+        return jnp.asarray(TN.build_trace_np(md, messages))
     all_rows = []
     for t, msg, sig in zip(md.tx_dicts(), messages, md.signatures):
         all_rows.extend(tx_rows(t, md.depth, msg, sig))

@@ -14,8 +14,9 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def _cat(parts):
-    return jnp.concatenate(parts, axis=-2)
+def _cat(parts, fx=None):
+    xp = fx.xp if fx is not None else jnp
+    return xp.concatenate(parts, axis=-2)
 
 
 def f6_add(fx, a, b):
@@ -44,7 +45,7 @@ def f6_mul(fx, a, b):
         y0, y1 = y[..., 0:1, :], y[..., 1:2, :]
         ls += [x0, x1, fx.sub(x0, x1)]
         rs += [y0, y1, fx.sub(y1, y0)]
-    prod = fx.mul(_cat(ls), _cat(rs))  # [..., 18, B]
+    prod = fx.mul(_cat(ls, fx), _cat(rs, fx))  # [..., 18, B]
 
     def fp2(k):
         u = prod[..., 3 * k:3 * k + 1, :]
@@ -52,18 +53,71 @@ def f6_mul(fx, a, b):
         w = prod[..., 3 * k + 2:3 * k + 3, :]
         c0 = fx.add(u, fx.add(v, v))
         c1 = fx.add(fx.add(v, c0), w)
-        return _cat([c0, c1])
+        return _cat([c0, c1], fx)
 
     aa, bb, cc, ab, ac, bc = (fp2(k) for k in range(6))
     tmp = fx.add(fx.add(aa, bb), cc)
     c0 = fx.sub(tmp, bc)
     c1 = fx.sub(fx.sub(ab, bc), aa)
     c2 = fx.add(fx.sub(fx.sub(ac, tmp), cc), fx.add(bb, bb))
-    return _cat([c0, c1, c2])
+    return _cat([c0, c1, c2], fx)
 
 
 def f6_square(fx, a):
     return f6_mul(fx, a, a)
+
+
+def f2_mul(fx, a, b):
+    """fp2 multiply on [..., 2, B] (u^2 = 2u + 2)."""
+    a0, a1 = a[..., 0:1, :], a[..., 1:2, :]
+    b0, b1 = b[..., 0:1, :], b[..., 1:2, :]
+    prod = fx.mul(_cat([a0, a1, fx.sub(a0, a1)], fx),
+                  _cat([b0, b1, fx.sub(b1, b0)], fx))
+    u, v, w = prod[..., 0:1, :], prod[..., 1:2, :], prod[..., 2:3, :]
+    c0 = fx.add(u, fx.add(v, v))
+    return _cat([c0, fx.add(fx.add(v, c0), w)], fx)
+
+
+def f2_inv(fx, a):
+    """fp2 inverse via the conjugate norm (ecc.rs:442-446)."""
+    a0, a1 = a[..., 0:1, :], a[..., 1:2, :]
+    norm = fx.sub(fx.add(fx.mul(a0, a0), fx.add(fx.mul(a0, a1), fx.mul(a0, a1))),
+                  fx.double(fx.mul(a1, a1)))
+    t = fx.inv(norm)
+    c0 = fx.mul(fx.add(a0, fx.double(a1)), t)
+    c1 = fx.neg(fx.mul(a1, t))
+    return _cat([c0, c1], fx)
+
+
+def f6_inv(fx, a):
+    """fp6 inverse (reference invert_fp6 sequence, ecc.rs:551-591)."""
+    c0_, c1_, c2_ = a[..., 0:2, :], a[..., 2:4, :], a[..., 4:6, :]
+    m = lambda u, v: f2_mul(fx, u, v)
+    ad = lambda u, v: fx.add(u, v)
+    sb = lambda u, v: fx.sub(u, v)
+    dbl = fx.double
+
+    c0_sq = m(c0_, c0_)
+    c1_sq = m(c1_, c1_)
+    c2_sq = m(c2_, c2_)
+    t = m(c0_, ad(c0_sq, c1_sq))
+    t = sb(t, m(c1_, c1_sq))
+    tmp = ad(c0_, sb(c2_, c1_))
+    t = ad(t, m(tmp, c2_sq))
+    tmp = ad(dbl(c0_), c0_)
+    tmp = m(tmp, c1_)
+    tmp = sb(dbl(c0_sq), tmp)
+    tmp = m(tmp, c2_)
+    t = sb(t, tmp)
+    t = f2_inv(fx, t)
+
+    r0 = ad(ad(c0_sq, c1_sq), c2_sq)
+    tmp = sb(dbl(c0_), c1_)
+    tmp = m(tmp, c2_)
+    r0 = m(sb(r0, tmp), t)
+    r1 = fx.neg(m(ad(m(c0_, c1_), c2_sq), t))
+    r2 = m(ad(sb(c1_sq, m(c0_, c2_)), c2_sq), t)
+    return _cat([r0, r1, r2], fx)
 
 
 # ---------------------------------------------------------------------------
@@ -101,7 +155,7 @@ def compute_double(fx, pt, b3):
     x3 = s(x3, t0)
     z3 = d(m(t2, t1))
     z3 = d(z3)
-    return _cat([x3, y3, z3])
+    return _cat([x3, y3, z3], fx)
 
 
 def compute_add(fx, pt1, pt2, b3):
@@ -134,7 +188,7 @@ def compute_add(fx, pt1, pt2, b3):
     x3 = s(m(t3, x3), t0)
     t0 = m(t3, t1)
     z3 = a(m(t5, z3), t0)
-    return _cat([x3, y3, z3])
+    return _cat([x3, y3, z3], fx)
 
 
 def compute_add_mixed(fx, pt1, pt2_affine, b3):
@@ -166,7 +220,7 @@ def compute_add_mixed(fx, pt1, pt2_affine, b3):
     x3 = s(m(t3, x3), t0)
     t0 = m(t3, t1)
     z3 = a(m(t5, z3), t0)
-    return _cat([x3, y3, z3])
+    return _cat([x3, y3, z3], fx)
 
 
 # ---------------------------------------------------------------------------
@@ -179,7 +233,7 @@ def enforce_point_doubling(fx, cur19, nxt19, flag, b3):
     eqs = fx.mul(fx.sub(nxt19[..., 0:18, :], dbl), flag)
     bit = cur19[..., 18:19, :]
     binc = fx.mul(fx.sub(fx.mul(bit, bit), bit), flag)
-    return _cat([eqs, binc])
+    return _cat([eqs, binc], fx)
 
 
 def enforce_point_addition_mixed(fx, cur19, nxt19, point12, flag, b3):
@@ -191,7 +245,7 @@ def enforce_point_addition_mixed(fx, cur19, nxt19, point12, flag, b3):
     expect = fx.add(fx.mul(added, bit), fx.mul(cur19[..., 0:18, :], not_bit))
     eqs = fx.mul(fx.sub(nxt19[..., 0:18, :], expect), flag)
     bitcopy = fx.mul(fx.sub(cur19[..., 18:19, :], nxt19[..., 18:19, :]), flag)
-    return _cat([eqs, bitcopy])
+    return _cat([eqs, bitcopy], fx)
 
 
 def enforce_point_addition_reduce_x(fx, cur18, nxt18, point18, flag, b3):
@@ -201,4 +255,4 @@ def enforce_point_addition_reduce_x(fx, cur18, nxt18, point18, flag, b3):
     x_z = f6_mul(fx, nxt18[..., 0:6, :], added[..., 12:18, :])
     first = fx.sub(x_z, added[..., 0:6, :])
     rest = fx.sub(nxt18[..., 6:18, :], added[..., 6:18, :])
-    return fx.mul(_cat([first, rest]), flag)
+    return fx.mul(_cat([first, rest], fx), flag)

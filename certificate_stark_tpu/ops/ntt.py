@@ -127,15 +127,15 @@ def eval_poly_at(coeffs: jnp.ndarray, z: int) -> np.ndarray:
     return sum_reduce(terms)
 
 
-def sum_reduce(a: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+def sum_reduce(a, axis: int = -1, xp=jnp):
     """Field-sum along an axis via tree halving (keeps limbs canonical)."""
-    a = jnp.moveaxis(a, axis if axis >= 0 else a.ndim + axis, -1)
+    a = xp.moveaxis(a, axis if axis >= 0 else a.ndim + axis, -1)
     n = a.shape[-1]
     while n > 1:
         if n % 2 == 1:
-            a = jnp.concatenate(
-                [a, jnp.zeros(a.shape[:-1] + (1,), dtype=a.dtype)], axis=-1)
+            a = xp.concatenate(
+                [a, xp.zeros(a.shape[:-1] + (1,), dtype=a.dtype)], axis=-1)
             n += 1
-        a = F.add(a[..., 0::2], a[..., 1::2])
+        a = F.add(a[..., 0::2], a[..., 1::2], xp)
         n = a.shape[-1]
     return a[..., 0]

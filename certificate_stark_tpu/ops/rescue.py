@@ -32,17 +32,17 @@ INV_MDS = np.stack([F.from_int(np.array(D.RESCUE_INV_MDS, dtype=object).reshape(
 ARK = F.from_int(np.array(D.RESCUE_ARK, dtype=object))  # [4, 8, 28]
 
 
-def sbox(state):
+def sbox(state, xp=jnp):
     """x -> x^3 elementwise."""
-    return F.mul(state, F.square(state))
+    return F.mul(state, F.square(state, xp), xp)
 
 
-def inv_sbox(state):
+def inv_sbox(state, xp=jnp):
     """x -> x^(1/3) elementwise (exponent INV_ALPHA)."""
-    return F.pow_const(state, INV_ALPHA)
+    return F.pow_const(state, INV_ALPHA, xp=xp)
 
 
-def mds_apply(state, mds_table=None):
+def mds_apply(state, mds_table=None, xp=jnp):
     """MDS matrix-vector product. state: [4, ..., 14, B] -> same shape.
 
     mds[i] = sum_j MDS[i][j] * state[j].
@@ -50,19 +50,20 @@ def mds_apply(state, mds_table=None):
     if mds_table is None:
         mds_table = MDS
     lead = state.ndim - 3  # extra axes between limbs and the (14, B) tail
-    m = jnp.asarray(mds_table).reshape((4,) + (1,) * lead + (14, 14, 1))
+    m = xp.asarray(mds_table).reshape((4,) + (1,) * lead + (14, 14, 1))
     s = state[..., None, :, :]  # [4, ..., 1, 14, B]
-    prod = F.mul(jnp.broadcast_to(m, m.shape[:1 + lead] + (14, 14) + state.shape[-1:]),
-                 jnp.broadcast_to(s, s.shape[:1 + lead] + (14, 14) + state.shape[-1:]))
-    return NTT.sum_reduce(prod, axis=-2)
+    prod = F.mul(xp.broadcast_to(m, m.shape[:1 + lead] + (14, 14) + state.shape[-1:]),
+                 xp.broadcast_to(s, s.shape[:1 + lead] + (14, 14) + state.shape[-1:]),
+                 xp)
+    return NTT.sum_reduce(prod, axis=-2, xp=xp)
 
 
-def add_ark(state, round_idx, half):
+def add_ark(state, round_idx, half, xp=jnp):
     """Add round constants; half=0 first 14, half=1 last 14. Static round."""
-    ark = jnp.asarray(ARK[:, round_idx, half * 14:(half + 1) * 14])
+    ark = xp.asarray(ARK[:, round_idx, half * 14:(half + 1) * 14])
     lead = state.ndim - 3
     ark = ark.reshape((4,) + (1,) * lead + (14, 1))
-    return F.add(state, jnp.broadcast_to(ark, state.shape))
+    return F.add(state, xp.broadcast_to(ark, state.shape), xp)
 
 
 def _add_ark_dyn(state, ark_row):
@@ -72,14 +73,14 @@ def _add_ark_dyn(state, ark_row):
     return F.add(state, jnp.broadcast_to(ark, state.shape))
 
 
-def apply_round(state, round_idx: int):
+def apply_round(state, round_idx: int, xp=jnp):
     """One Rescue round (reference rescue.rs:246-263)."""
-    state = sbox(state)
-    state = mds_apply(state)
-    state = add_ark(state, round_idx % CYCLE_LENGTH, 0)
-    state = inv_sbox(state)
-    state = mds_apply(state)
-    state = add_ark(state, round_idx % CYCLE_LENGTH, 1)
+    state = sbox(state, xp)
+    state = mds_apply(state, xp=xp)
+    state = add_ark(state, round_idx % CYCLE_LENGTH, 0, xp)
+    state = inv_sbox(state, xp)
+    state = mds_apply(state, xp=xp)
+    state = add_ark(state, round_idx % CYCLE_LENGTH, 1, xp)
     return state
 
 
