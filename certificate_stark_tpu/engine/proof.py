@@ -67,6 +67,12 @@ class Proof:
 
         w_u32(self.trace_width)
         w_u32(self.trace_length)
+        opts = self.options
+        for v in (opts.num_queries, opts.blowup, opts.grinding_bits,
+                  {"rescue": 0, "sha256": 1}[opts.hash_fn],
+                  opts.extension_degree, opts.fri_folding,
+                  opts.fri_max_remainder):
+            w_u32(v)
         w_felts(self.pub_inputs)
         w_digest(self.trace_root)
         w_digest(self.h_root)
@@ -92,3 +98,58 @@ class Proof:
 
     def size_bytes(self) -> int:
         return len(self.to_bytes())
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "Proof":
+        """Inverse of to_bytes (winterfell's StarkProof is Deserializable;
+        this keeps proofs portable across processes/hosts)."""
+        from .options import ProofOptions
+        off = [0]
+
+        def r_u32():
+            v = struct.unpack_from("<I", data, off[0])[0]
+            off[0] += 4
+            return v
+
+        def r_felt():
+            v = int.from_bytes(data[off[0]:off[0] + 8], "little")
+            off[0] += 8
+            return v
+
+        def r_felts():
+            return [r_felt() for _ in range(r_u32())]
+
+        def r_digest(dl):
+            return tuple(r_felt() for _ in range(dl))
+
+        def r_path(dl):
+            return [r_digest(dl) for _ in range(r_u32())]
+
+        tw, tl = r_u32(), r_u32()
+        q, b, g, h, e, f, rem = (r_u32() for _ in range(7))
+        opts = ProofOptions(num_queries=q, blowup=b, grinding_bits=g,
+                            hash_fn=["rescue", "sha256"][h],
+                            extension_degree=e, fri_folding=f,
+                            fri_max_remainder=rem)
+        dl = {"rescue": 7, "sha256": 8}[opts.hash_fn]
+        p = cls(trace_width=tw, trace_length=tl, options=opts,
+                pub_inputs=r_felts())
+        p.trace_root = r_digest(dl)
+        p.h_root = r_digest(dl)
+        p.ood_trace_z = r_felts()
+        p.ood_trace_zg = r_felts()
+        p.ood_h = r_felts()
+        p.fri_roots = [r_digest(dl) for _ in range(r_u32())]
+        p.fri_remainder = r_felts()
+        p.pow_nonce = r_u32()
+        nq = r_u32()
+        for _ in range(nq):
+            qo = QueryOpening(index=r_u32(), trace_row=r_felts(),
+                              h_row=r_felts(), trace_path=r_path(dl),
+                              h_path=r_path(dl), fri_openings=[])
+            for _ in range(r_u32()):
+                vals = r_felts()
+                qo.fri_openings.append((vals, r_path(dl)))
+            p.queries.append(qo)
+        assert off[0] == len(data), "trailing bytes in proof"
+        return p

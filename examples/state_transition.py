@@ -1,0 +1,54 @@
+#!/usr/bin/env python
+"""State-transition example CLI — mirrors the reference's
+examples/state-transition.rs:18-109 (gumdrop flags -> argparse):
+
+  -n/--num-transactions, -q/--queries, -b/--blowup, -g/--grinding,
+  -h handled by argparse; --hash-fn (rescue|sha256 here; the reference's
+  Blake3/Sha3 are byte-hash options), -e/--extension (1 only in round 1),
+  -f/--fri-folding, plus --depth (the reference fixes 15; 3 = test size).
+
+Prints proof time, proof size, and verification time like the reference.
+"""
+import argparse
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def main():
+    ap = argparse.ArgumentParser(description="Topos state-transition STARK")
+    ap.add_argument("-n", "--num-transactions", type=int, default=4)
+    ap.add_argument("-q", "--queries", type=int, default=42)
+    ap.add_argument("-b", "--blowup", type=int, default=8)
+    ap.add_argument("-g", "--grinding", type=int, default=0)
+    ap.add_argument("--hash-fn", default="rescue", choices=["rescue", "sha256"])
+    ap.add_argument("-e", "--extension", type=int, default=1, choices=[1, 2, 3])
+    ap.add_argument("-f", "--fri-folding", type=int, default=4, choices=[2, 4])
+    ap.add_argument("--depth", type=int, default=15)
+    args = ap.parse_args()
+
+    from certificate_stark_tpu.engine.options import ProofOptions
+    from certificate_stark_tpu.models.transaction import TransactionExample
+
+    opts = ProofOptions(num_queries=args.queries, blowup=args.blowup,
+                        grinding_bits=args.grinding, hash_fn=args.hash_fn,
+                        extension_degree=args.extension,
+                        fri_folding=args.fri_folding)
+    t0 = time.time()
+    ex = TransactionExample(args.num_transactions, opts, depth=args.depth)
+    print(f"witness + trace built in {time.time() - t0:.2f} s "
+          f"({args.num_transactions} txs, depth {args.depth})")
+
+    t0 = time.time()
+    proof = ex.prove()
+    print(f"proof generated in {time.time() - t0:.2f} s")
+    print(f"proof size: {proof.size_bytes() / 1024:.1f} KB")
+
+    t0 = time.time()
+    assert ex.verify(proof)
+    print(f"proof verified in {time.time() - t0:.2f} s")
+
+
+if __name__ == "__main__":
+    main()
