@@ -43,6 +43,19 @@ class BaseFieldOps:
     def cat(cls, parts, axis=-2):
         return cls.xp.concatenate(parts, axis=axis)
 
+    @classmethod
+    def cat1(cls, parts):
+        """Concatenate along the trace-column/constraint axis."""
+        return cls.xp.concatenate(parts, axis=1)
+
+    @staticmethod
+    def embed(ints):
+        """Standard-form int list -> constant element column [4, k, 1]
+        (broadcasts over the batch axis)."""
+        import numpy as __np
+        return F.from_int(__np.array(list(ints), dtype=object))[:, :, None]
+
+
     # -- structure accessors (limbs axis 0, data axes after) ---------------
     @staticmethod
     def col(arr, i):
@@ -127,3 +140,131 @@ class NPFieldOps(BaseFieldOps):
 
 
 NP = NPFieldOps()
+
+
+class HostExtOps:
+    """Host-side object-array facade for extension fields.
+
+    Elements are numpy object arrays of tuples (d base coefficients as Python
+    ints), layout [1, cols, B] — structurally compatible with the base layout
+    [4, cols, B] so the SAME model constraint code evaluates at the single
+    out-of-domain point z in the quadratic/cubic options (B is 1 there; speed
+    is irrelevant, identical code paths are everything).
+    """
+
+    xp = _np
+
+    def __init__(self, degree: int):
+        from ..ops import extfield as XF
+        self.degree = degree
+        d = degree
+        z = tuple([0] * d)
+
+        def lift(v):
+            return tuple(list(v) + [0] * (d - len(v))) if isinstance(v, tuple) \
+                else tuple([int(v)] + [0] * (d - 1))
+
+        self._lift = lift
+        self._add = _np.frompyfunc(
+            lambda a, b: tuple((x + y) % F.P for x, y in zip(lift(a), lift(b))), 2, 1)
+        self._sub = _np.frompyfunc(
+            lambda a, b: tuple((x - y) % F.P for x, y in zip(lift(a), lift(b))), 2, 1)
+        self._mul = _np.frompyfunc(
+            lambda a, b: tuple(XF.host_ext_mul(list(lift(a)), list(lift(b)), d)), 2, 1)
+        self._neg = _np.frompyfunc(
+            lambda a: tuple((-x) % F.P for x in lift(a)), 1, 1)
+        self._inv = _np.frompyfunc(
+            lambda a: tuple(XF.host_ext_inv(list(lift(a)), d)), 1, 1)
+        self._zero = z
+
+    # element-wise ops
+    def add(self, a, b):
+        return self._add(a, b)
+
+    def sub(self, a, b):
+        return self._sub(a, b)
+
+    def mul(self, a, b):
+        return self._mul(a, b)
+
+    def square(self, a):
+        return self._mul(a, a)
+
+    def double(self, a):
+        return self._add(a, a)
+
+    def neg(self, a):
+        return self._neg(a)
+
+    def inv(self, a):
+        return self._inv(a)
+
+    # structure
+    def const(self, x: int, ndim: int = 1):
+        out = _np.empty((1,) + (1,) * ndim, dtype=object)
+        out.flat[0] = self._lift(int(x))
+        return out
+
+    def embed(self, ints):
+        out = _np.empty((1, len(list(ints)), 1), dtype=object)
+        for i, v in enumerate(ints):
+            out[0, i, 0] = self._lift(int(v))
+        return out
+
+    def from_coeffs(self, coeff_lists, shape=(1, -1, 1)):
+        """List of d-coefficient lists -> object array column [1, k, 1]."""
+        out = _np.empty((1, len(coeff_lists), 1), dtype=object)
+        for i, c in enumerate(coeff_lists):
+            out[0, i, 0] = self._lift(tuple(int(x) % F.P for x in c))
+        return out
+
+    @staticmethod
+    def col(arr, i):
+        return arr[:, i]
+
+    @staticmethod
+    def cols(arr, lo, hi):
+        return arr[:, lo:hi]
+
+    def one_mask(self, mask_elem):
+        return self._sub(self.const(1, mask_elem.ndim - 1), mask_elem)
+
+    @staticmethod
+    def stack(elems, axis=1):
+        return _np.stack(elems, axis=axis)
+
+    @classmethod
+    def cat(cls, parts, axis=-2):
+        return _np.concatenate(parts, axis=axis)
+
+    @classmethod
+    def cat1(cls, parts):
+        return _np.concatenate(parts, axis=1)
+
+    def zeros_like(self, a):
+        out = _np.empty_like(a)
+        out[...] = self._zero
+        return out
+
+    # compound crypto ops
+    def rescue_mds(self, state):
+        from ..params import data as PD
+        return self._mds_generic(state, PD.RESCUE_MDS)
+
+    def _mds_generic(self, state, table):
+        tbl = table
+        out = _np.empty_like(state)
+        for i in range(14):
+            acc = None
+            for j in range(14):
+                term = self._mul(state[..., j:j + 1, :], self.const(tbl[i * 14 + j], 2))
+                acc = term if acc is None else self._add(acc, term)
+            out[..., i:i + 1, :] = acc
+        return out
+
+    def rescue_inv_mds(self, state):
+        from ..params import data as PD
+        return self._mds_generic(state, PD.RESCUE_INV_MDS)
+
+    def sbox3(self, state):
+        return self._mul(state, self._mul(state, state))

@@ -56,7 +56,20 @@ class MerkleTree:
         return path
 
     def prove_batch(self, indices) -> dict:
-        return {int(i): self.prove(int(i)) for i in indices}
+        """Authentication paths for many indices with one device gather per
+        tree level (the per-query version costs thousands of tiny transfers)."""
+        import jax.numpy as jnp
+
+        uniq = sorted({int(i) for i in indices})
+        idx = np.asarray(uniq, dtype=np.int64)
+        paths = {i: [] for i in uniq}
+        cur = idx
+        for lvl in self.levels[:-1]:
+            sibs = np.asarray(jnp.take(lvl, jnp.asarray(cur ^ 1), axis=-1))
+            for qi, i in enumerate(uniq):
+                paths[i].append(self.hasher.to_ints(sibs[..., qi]))
+            cur = cur >> 1
+        return paths
 
 
 def verify_path(hsh, root: tuple, index: int, leaf: tuple, path: list) -> bool:

@@ -325,22 +325,32 @@ class Prover:
 
         lde_host = F.to_int(np.asarray(jnp.take(lde, jnp.asarray(positions), axis=-1)))
         h_host = F.to_int(np.asarray(jnp.take(h_lde, jnp.asarray(positions), axis=-1)))
+        t_paths = trace_tree.prove_batch(positions)
+        h_paths = h_tree.prove_batch(positions)
+
+        # batched FRI openings: one gather per layer
+        layer_data = []
+        p_cur = list(positions)
+        for layer in fri_layers:
+            quarter = layer.n // fold
+            leaf_idx = [p % quarter for p in p_cur]
+            vals = F.to_int(np.asarray(
+                jnp.take(layer.group, jnp.asarray(leaf_idx), axis=-1)))  # [fold, Q]
+            layer_data.append((leaf_idx, vals, layer.tree.prove_batch(leaf_idx)))
+            p_cur = leaf_idx
 
         queries = []
         for qi, pos in enumerate(positions):
             fri_open = []
-            p_cur = pos
-            for layer in fri_layers:
-                quarter = layer.n // fold
-                leaf_idx = p_cur % quarter
-                fri_open.append((layer.values_at(leaf_idx), layer.tree.prove(leaf_idx)))
-                p_cur = leaf_idx
+            for leaf_idx, vals, paths in layer_data:
+                fri_open.append(([int(v) for v in vals[:, qi]],
+                                 paths[leaf_idx[qi]]))
             queries.append(QueryOpening(
                 index=int(pos),
                 trace_row=[int(x) for x in lde_host[:, qi]],
                 h_row=[int(x) for x in h_host[:, qi]],
-                trace_path=trace_tree.prove(int(pos)),
-                h_path=h_tree.prove(int(pos)),
+                trace_path=t_paths[int(pos)],
+                h_path=h_paths[int(pos)],
                 fri_openings=fri_open,
             ))
 

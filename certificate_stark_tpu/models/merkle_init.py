@@ -104,7 +104,7 @@ class MerkleInitAir(Air):
             outs.append(C.rescue_enforce_round(
                 fx, fx.cols(current, pos, pos + 14),
                 fx.cols(nxt, pos, pos + 14), ark0, ark1))
-        return jnp.concatenate(outs, axis=1)  # [4, 56, B]
+        return fx.cat1(outs)  # [4, 56, B]
 
     def assertions(self):
         out = []

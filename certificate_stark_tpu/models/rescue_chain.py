@@ -96,10 +96,10 @@ class RescueChainAir(Air):
         round_c = fx.sub(step2, step1)          # [.., 14, B]
 
         copy_flag = fx.one_mask(flag)
-        copy_c = jnp.concatenate([
+        copy_c = fx.cat1([
             fx.sub(fx.cols(nxt, 0, 7), fx.cols(current, 0, 7)),
             fx.cols(nxt, 7, 14),
-        ], axis=1)
+        ])
 
         return fx.add(fx.mul(round_c, flag[:, None]),
                       fx.mul(copy_c, copy_flag[:, None]))  # [4, 14, B]

@@ -123,10 +123,8 @@ def evaluate_schnorr(fx, current, nxt, agg, ark0, ark1, doubling, addition,
     result slots 0..56 via `agg`. Shared by the standalone and composed AIRs
     (the composed AIR passes pkey/internal built from its copy registers)."""
     one = fx.const(1, current.ndim - 1)
-    b3 = jnp.asarray(F.from_int(np.array(CV.B3_LIMBS, dtype=object)))[:, :, None]
-    b3 = jnp.broadcast_to(b3, (4, 6) + current.shape[2:])
-    gen12 = jnp.asarray(F.from_int(np.array(_gen12(), dtype=object)))[:, :, None]
-    gen12 = jnp.broadcast_to(gen12, (4, 12) + current.shape[2:])
+    b3 = fx.embed(CV.B3_LIMBS)
+    gen12 = fx.embed(_gen12())
 
     # ---- point 1: S = s*G ------------------------------------------------
     cur1 = fx.cols(current, 0, 19)

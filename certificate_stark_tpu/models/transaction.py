@@ -260,13 +260,13 @@ class TransactionAir(Air):
         pkey = fx.cols(nxt, S_KEY_COPY, S_KEY_COPY + 12)
         internal = None
         srcs = [fx.cols(nxt, S_KEY_COPY, S_KEY_COPY + 7),
-                jnp.concatenate([fx.cols(nxt, S_KEY_COPY + 7, S_KEY_COPY + 12),
-                                 fx.cols(nxt, R_KEY_COPY, R_KEY_COPY + 2)], axis=1),
+                fx.cat1([fx.cols(nxt, S_KEY_COPY + 7, S_KEY_COPY + 12),
+                         fx.cols(nxt, R_KEY_COPY, R_KEY_COPY + 2)]),
                 fx.cols(nxt, R_KEY_COPY + 2, R_KEY_COPY + 9),
-                jnp.concatenate([fx.cols(nxt, R_KEY_COPY + 9, R_KEY_COPY + 12),
-                                 fx.col(nxt, DELTA_COPY)[:, None],
-                                 fx.col(nxt, NONCE_COPY)[:, None],
-                                 fx.zeros_like(fx.cols(nxt, 0, 2))], axis=1)]
+                fx.cat1([fx.cols(nxt, R_KEY_COPY + 9, R_KEY_COPY + 12),
+                         fx.col(nxt, DELTA_COPY)[:, None],
+                         fx.col(nxt, NONCE_COPY)[:, None],
+                         fx.zeros_like(fx.cols(nxt, 0, 2))])]
         for k in range(4):
             term = fx.mul(srcs[k], internal_flags[k])
             internal = term if internal is None else fx.add(internal, term)
