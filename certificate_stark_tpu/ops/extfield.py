@@ -129,3 +129,64 @@ def host_ext_inv(a, degree):
                 m[r] = [(m[r][j] - f * m[col][j]) % P for j in range(degree)]
                 rhs[r] = (rhs[r] - f * rhs[col]) % P
     return rhs
+
+
+# ---------------------------------------------------------------------------
+# vectorized device helpers for the ext prover path (elements [4, d, *S])
+# ---------------------------------------------------------------------------
+def ext_inv_vec(a, degree: int, xp=jnp):
+    """Vectorized extension inverse via Cramer's rule on the multiplication
+    matrix (one base-field inversion chain + O(d^2) muls per element)."""
+    if degree == 1:
+        return F.inv(a, xp=xp)
+    if degree == 2:
+        a0, a1 = a[:, 0], a[:, 1]
+        nr = F.broadcast_const(X.QUAD_NONRESIDUE, a0.ndim - 1)
+        norm = F.sub(F.mul(a0, a0, xp),
+                     F.mul(xp.broadcast_to(nr, a1.shape), F.mul(a1, a1, xp), xp), xp)
+        t = F.inv(norm, xp=xp)
+        return xp.stack([F.mul(a0, t, xp),
+                         F.mul(F.neg(a1, xp), t, xp)], axis=1)
+    # cubic x^3 = A1 x + A0: solve M(a) v = e0
+    a0, a1, a2 = a[:, 0], a[:, 1], a[:, 2]
+    c1 = F.broadcast_const(X.CUBIC_A1, a0.ndim - 1)
+    c0 = F.broadcast_const(X.CUBIC_A0, a0.ndim - 1)
+
+    def cm(x, y):
+        return F.mul(x, y, xp)
+
+    def sc(cst, x):
+        return F.mul(xp.broadcast_to(cst, x.shape), x, xp)
+
+    m11 = F.add(a0, sc(c1, a2), xp)            # a0 + A1*a2
+    m12 = sc(c0, a2)                            # A0*a2
+    m13 = sc(c0, a1)                            # A0*a1
+    m21 = a1
+    m22 = m11
+    m23 = F.add(m12, sc(c1, a1), xp)            # A0*a2 + A1*a1
+    # M = [[a0, m12, m13], [a1, m22, m23], [a2, a1, m11]]
+    # cofactors of column 0 (for solving M v = e0 -> v_i = C_{0i}/det)
+    c00 = F.sub(cm(m22, m11), cm(m23, a1), xp)
+    c01 = F.neg(F.sub(cm(a1, m11), cm(m23, a2), xp), xp)
+    c02 = F.sub(cm(a1, a1), cm(m22, a2), xp)
+    det = F.add(cm(a0, c00), F.add(cm(m12, c01), cm(m13, c02), xp), xp)
+    dinv = F.inv(det, xp=xp)
+    return xp.stack([cm(c00, dinv), cm(c01, dinv), cm(c02, dinv)], axis=1)
+
+
+def ext_powers_dyn(z, count: int, degree: int, xp=jnp):
+    """[z^0 .. z^(count-1)] for an ext scalar z [4, d] -> [4, d, count]."""
+    one = np.zeros((4, degree, 1), dtype=np.uint32)
+    one[:, 0, 0] = F.ONE_MONT
+    tbl = xp.asarray(one)
+    zz = z[:, :, None]
+    cur = 1
+    while cur < count:
+        m = min(cur, count - cur)
+        step = xp.broadcast_to(zz, (4, degree, m))
+        nxt = ext_mul(tbl[:, :, :m], step, degree) if degree > 1 \
+            else F.mul(tbl[:, :, :m], step, xp)
+        tbl = xp.concatenate([tbl, nxt], axis=2)
+        zz = ext_mul(zz, zz, degree) if degree > 1 else F.square(zz, xp)
+        cur *= 2
+    return tbl[:, :, :count]
