@@ -100,3 +100,21 @@ def verify_remainder(remainder: list, blowup: int, offset: int) -> bool:
     o_inv = pow(offset, F.P - 2, F.P)
     coeffs = [c * pow(o_inv, i, F.P) % F.P for i, c in enumerate(coeffs)]
     return PH.poly_degree(coeffs) < n // blowup
+
+
+def fold2_ext(evals, xi, offset: int, gen: int, degree: int):
+    """Radix-2 fold for (possibly extension-valued) evaluations [4, d, n]
+    with an extension folding scalar xi [4, d]."""
+    from ..ops import extfield as XF
+
+    n = evals.shape[-1]
+    half = n // 2
+    e0 = evals[..., :half]
+    e1 = evals[..., half:]
+    inv2 = F.const(pow(2, F.P - 2, F.P))
+    s = F.mul_const(F.add(e0, e1), inv2)
+    dterm = F.mul_const(F.sub(e0, e1), inv2)
+    invxs = _inv_xs_table(offset, gen, half)            # [4, half] base
+    dterm = F.mul(dterm, jnp.asarray(invxs)[:, None])
+    dterm = XF.ext_mul(dterm, xi[:, :, None], degree)
+    return F.add(s, dterm)

@@ -11,8 +11,9 @@ host only runs the public coin between phases and assembles the proof. Phase
 executables are cached on the Prover instance, so repeated proofs (benchmarks,
 batch proving) pay compilation once.
 
-Current scope: base-field proofs (extension_degree == 1); extension support is
-layered in via engine/extension.py.
+Extension options: the composition/OOD/DEEP/FRI data carries a trailing
+extension axis (d = 1/2/3); the base-field case is the d=1 degeneration of the
+same kernels, so one code path serves all options.
 """
 from __future__ import annotations
 
@@ -73,12 +74,16 @@ def _commit(hasher, data):
 _PHASE_CACHE = {}
 
 
+_PHASE_ATTRS = ("phase_trace", "phase_composition", "phase_ood", "phase_deep",
+                "_fri_kernels", "_b_struct")
+
+
 class Prover:
     def __init__(self, air, hasher=None):
         self.air = air
         opts = air.options
-        assert opts.extension_degree == 1, "extension fields: see ExtProver (WIP)"
         self.opts = opts
+        self.d = opts.extension_degree
         self.n = air.trace_length
         self.w = air.trace_width
         self.b = opts.blowup
@@ -95,12 +100,10 @@ class Prover:
                self.hasher.name, getattr(air, "depth", None))
         if key not in _PHASE_CACHE:
             self._build_phases()
-            _PHASE_CACHE[key] = (self.phase_trace, self.phase_composition,
-                                 self.phase_ood, self.phase_deep,
-                                 self._fri_kernels, self._b_struct)
+            _PHASE_CACHE[key] = {a: getattr(self, a) for a in _PHASE_ATTRS}
         else:
-            (self.phase_trace, self.phase_composition, self.phase_ood,
-             self.phase_deep, self._fri_kernels, self._b_struct) = _PHASE_CACHE[key]
+            for a, v in _PHASE_CACHE[key].items():
+                setattr(self, a, v)
         # per-instance (pub-input-dependent) boundary value evaluations,
         # ordered to match the cached group structure
         from .boundary import build_boundary_tables
@@ -160,73 +163,116 @@ class Prover:
         self._b_struct = b_struct
         adj_groups = sorted(set(t_adjs))
         adj_mask = {g: np.array([adj == g for adj in t_adjs],
-                                dtype=np.uint32).reshape(1, -1, 1)
+                                dtype=np.uint32).reshape(1, -1, 1, 1)
                     for g in adj_groups}
         xpow = {}
         for adj in set(t_adjs) | {g["adj"] for g in b_struct}:
             xpow[adj] = F.mul_const(F.np_powers(pow(gen_big, adj, F.P), bn),
                                     F.np_const(pow(offset, adj, F.P)), np)
 
+        d = self.d
+
         @jax.jit
         def phase_composition(lde, t_alpha, t_beta, b_alpha, b_beta,
                               periodic, b_evals):
+            # coefficient arrays carry a trailing extension axis [4, C, d]
+            # (d == 1 for base-field proofs); the composition lives in the
+            # extension: comp [4, d, bn].
             nxt = jnp.roll(lde, -b, axis=-1)
             evals = air.evaluate_transition(BASE, lde, nxt, periodic)
             if isinstance(evals, (list, tuple)):
                 evals = jnp.stack(evals, axis=1)       # [4, C, bn]
             q = F.mul(evals, zt_inv[:, None])
-            alpha_side = NTT.sum_reduce(F.mul(q, t_alpha[:, :, None]), axis=1)
-            beta_q = F.mul(q, t_beta[:, :, None])
+            qd = q[:, :, None, :]                      # [4, C, 1, bn]
+            alpha_side = NTT.sum_reduce(
+                F.mul(qd, t_alpha[:, :, :, None]), axis=1)      # [4, d, bn]
+            beta_q = F.mul(qd, t_beta[:, :, :, None])
             comp = alpha_side
             for g in adj_groups:
                 part = NTT.sum_reduce(beta_q * adj_mask[g], axis=1)
-                comp = F.add(comp, F.mul(part, xpow[g]))
+                comp = F.add(comp, F.mul(part, xpow[g][:, None]))
 
             # boundary terms: per divisor group, stacked over its assertions
             for gi, grp in enumerate(b_struct):
                 rows = lde[:, grp["columns"]]          # [4, g, bn]
-                num = F.sub(rows, b_evals[gi])
+                num = F.sub(rows, b_evals[gi])[:, :, None, :]
                 a_side = NTT.sum_reduce(
-                    F.mul(num, b_alpha[:, grp["coeff_idx"], None]), axis=1)
+                    F.mul(num, b_alpha[:, grp["coeff_idx"], :, None]), axis=1)
                 b_side = NTT.sum_reduce(
-                    F.mul(num, b_beta[:, grp["coeff_idx"], None]), axis=1)
-                term = F.add(a_side, F.mul(b_side, xpow[grp["adj"]]))
-                comp = F.add(comp, F.mul(term, grp["inv_z"]))
+                    F.mul(num, b_beta[:, grp["coeff_idx"], :, None]), axis=1)
+                term = F.add(a_side, F.mul(b_side, xpow[grp["adj"]][:, None]))
+                comp = F.add(comp, F.mul(term, grp["inv_z"][:, None]))
 
             comp_coeffs = NTT.coset_scale(NTT.intt(comp), pow(offset, F.P - 2, F.P))
-            h_coeffs = comp_coeffs[..., :k * n].reshape(4, n, k).transpose(0, 2, 1)
+            h_coeffs = comp_coeffs[..., :k * n].reshape(4, d, n, k) \
+                                               .transpose(0, 1, 3, 2)  # [4,d,k,n]
             h_lde = NTT.ntt(NTT.coset_scale(
-                jnp.pad(h_coeffs, [(0, 0), (0, 0), (0, (b - 1) * n)]), offset))
+                jnp.pad(h_coeffs, [(0, 0), (0, 0), (0, 0), (0, (b - 1) * n)]),
+                offset))
             return h_coeffs, h_lde
+
+        from ..ops import extfield as XF
 
         @jax.jit
         def phase_ood(trace_coeffs, h_coeffs, z):
-            zg = F.mul(z, _limb(g_trace))
+            # z: [4, d] extension scalar
+            zg = F.mul(z, jnp.broadcast_to(_limb(g_trace)[:, None], z.shape))
             zk = z
             for _ in range(k.bit_length() - 1):
-                zk = F.square(zk)
-            return (eval_poly_dyn(trace_coeffs, z),
-                    eval_poly_dyn(trace_coeffs, zg),
-                    eval_poly_dyn(h_coeffs, zk))
+                zk = XF.ext_mul(zk[:, :, None], zk[:, :, None], d)[:, :, 0]
+            ztbl = XF.ext_powers_dyn(z, n, d)          # [4, d, n]
+            zgtbl = XF.ext_powers_dyn(zg, n, d)
+            zktbl = XF.ext_powers_dyn(zk, n, d)
+            ood_z = NTT.sum_reduce(
+                F.mul(trace_coeffs[:, None], ztbl[:, :, None, :]), axis=-1)
+            ood_zg = NTT.sum_reduce(
+                F.mul(trace_coeffs[:, None], zgtbl[:, :, None, :]), axis=-1)
+            ood_h = NTT.sum_reduce(
+                XF.ext_mul(h_coeffs, zktbl[:, :, None, :], d), axis=-1)
+            return ood_z, ood_zg, ood_h                # [4,d,w], [4,d,w], [4,d,k]
+
+        def _lift_sub(rows, ood):
+            # rows [4, R, bn] base; ood [4, d, R] ext -> numer [4, d, R, bn]
+            ood_b = ood[:, :, :, None]
+            first = F.sub(rows[:, None], ood_b[:, 0:1])
+            if d == 1:
+                return first
+            rest = F.neg(jnp.broadcast_to(
+                ood_b[:, 1:], (4, d - 1) + rows.shape[1:]))
+            return jnp.concatenate([first, rest], axis=1)
+
+        def _lift_sub_point(base_vec, zpt):
+            # base_vec [4, bn]; zpt [4, d] -> (x - z) [4, d, bn]
+            first = F.sub(base_vec[:, None], zpt[:, 0:1, None])
+            if d == 1:
+                return first
+            rest = F.neg(jnp.broadcast_to(
+                zpt[:, 1:, None], (4, d - 1, base_vec.shape[-1])))
+            return jnp.concatenate([first, rest], axis=1)
 
         @jax.jit
         def phase_deep(lde, h_lde, ood_z, ood_zg, ood_h, g_z, g_zg, g_h, z):
-            zg = F.mul(z, _limb(g_trace))
+            zg = F.mul(z, jnp.broadcast_to(_limb(g_trace)[:, None], z.shape))
             zk = z
             for _ in range(k.bit_length() - 1):
-                zk = F.square(zk)
-            inv_xz = F.inv(F.sub(xs, z[:, None]))
-            inv_xzg = F.inv(F.sub(xs, zg[:, None]))
-            inv_xzk = F.inv(F.sub(xs, zk[:, None]))
+                zk = XF.ext_mul(zk[:, :, None], zk[:, :, None], d)[:, :, 0]
+            inv_xz = XF.ext_inv_vec(_lift_sub_point(xs, z), d)
+            inv_xzg = XF.ext_inv_vec(_lift_sub_point(xs, zg), d)
+            inv_xzk = XF.ext_inv_vec(_lift_sub_point(xs, zk), d)
 
             def dot_rows(rows, oods, coeffs):
-                numer = F.sub(rows, oods[:, :, None])
-                return NTT.sum_reduce(F.mul(numer, coeffs[:, :, None]), axis=1)
+                numer = _lift_sub(rows, oods)          # [4, d, R, bn]
+                return NTT.sum_reduce(
+                    XF.ext_mul(numer, coeffs[:, :, :, None], d), axis=2)
 
-            deep = F.mul(dot_rows(lde, ood_z, g_z), inv_xz)
-            deep = F.add(deep, F.mul(dot_rows(lde, ood_zg, g_zg), inv_xzg))
-            deep = F.add(deep, F.mul(dot_rows(h_lde, ood_h, g_h), inv_xzk))
-            return deep
+            deep = XF.ext_mul(dot_rows(lde, ood_z, g_z), inv_xz, d)
+            deep = F.add(deep, XF.ext_mul(dot_rows(lde, ood_zg, g_zg), inv_xzg, d))
+            # composition columns are ext-valued: numer = H - ood directly
+            h_num = F.sub(h_lde, ood_h[:, :, :, None])
+            h_dot = NTT.sum_reduce(
+                XF.ext_mul(h_num, g_h[:, :, :, None], d), axis=2)
+            deep = F.add(deep, XF.ext_mul(h_dot, inv_xzk, d))
+            return deep                                 # [4, d, bn]
 
         self.phase_trace = phase_trace
         self.phase_composition = phase_composition
@@ -245,25 +291,47 @@ class Prover:
 
     def _make_fri_kernel(self, size, o, gw, fold):
         hasher = self.hasher
+        d = self.d
 
         def commit_kernel(cur):
-            group = cur.reshape(4, fold, size // fold)
-            return group, _commit(hasher, group)
+            # cur [4, d, size]; leaf i groups the `fold` positions that fold
+            # together, element-major (position outer, ext coord inner)
+            group = cur.reshape(4, d, fold, size // fold)
+            rows = group.transpose(0, 2, 1, 3).reshape(4, fold * d, size // fold)
+            return group, _commit(hasher, rows)
+
+        from ..ops import extfield as XF
 
         @jax.jit
         def fold_kernel(cur, xi):
-            folded = FRI.fold2_dyn(cur, xi, o, gw)
+            xi2 = XF.ext_mul(xi[:, :, None], xi[:, :, None], d)[:, :, 0]
+            folded = FRI.fold2_ext(cur, xi, o, gw, d)
             if fold == 4:
-                folded = FRI.fold2_dyn(folded, F.square(xi),
-                                       pow(o, 2, F.P), pow(gw, 2, F.P))
+                folded = FRI.fold2_ext(folded, xi2,
+                                       pow(o, 2, F.P), pow(gw, 2, F.P), d)
             return folded
 
         return commit_kernel, fold_kernel
 
     # ------------------------------------------------------------------
+    def _draw_coeffs(self, coin, count):
+        """count extension coefficients -> [4, count, d] (element-major)."""
+        vals = [coin.draw_felts(self.d) for _ in range(count)]
+        return jnp.asarray(F.from_int(np.array(vals, dtype=object)))
+
+    @staticmethod
+    def _flat(arr_l):
+        """[4, d, ...] device ext values -> flat int list, element-major
+        (last axes outer, ext coord inner)."""
+        ints = F.to_int(np.asarray(arr_l))  # object [d, ...]
+        d = ints.shape[0]
+        rest = ints.reshape(d, -1)
+        return [int(rest[c, j]) for j in range(rest.shape[1]) for c in range(d)]
+
     def prove(self, trace: jnp.ndarray) -> Proof:
         air, opts, hasher = self.air, self.opts, self.hasher
         n, w, b, bn, k = self.n, self.w, self.b, self.bn, self.k
+        d = self.d
         assert trace.shape == (4, w, n)
 
         trace_coeffs, lde = self.phase_trace(trace)
@@ -274,29 +342,29 @@ class Prover:
         coin.reseed(trace_tree.root())
 
         nc, nb = len(self.degrees), len(self.assertions)
-        t_alpha = _limbs(coin.draw_felts(nc))
-        t_beta = _limbs(coin.draw_felts(nc))
-        b_alpha = _limbs(coin.draw_felts(nb))
-        b_beta = _limbs(coin.draw_felts(nb))
+        t_alpha = self._draw_coeffs(coin, nc)
+        t_beta = self._draw_coeffs(coin, nc)
+        b_alpha = self._draw_coeffs(coin, nb)
+        b_beta = self._draw_coeffs(coin, nb)
 
         h_coeffs, h_lde = self.phase_composition(
             lde, t_alpha, t_beta, b_alpha, b_beta,
             jnp.asarray(self._periodic) if self._periodic is not None
             else jnp.zeros((4, 0, self.bn), jnp.uint32), self._b_evals)
-        h_tree = M.MerkleTree.from_levels(hasher, _commit(hasher, h_lde))
+        h_rows = h_lde.transpose(0, 2, 1, 3).reshape(4, k * d, bn)
+        h_tree = M.MerkleTree.from_levels(hasher, _commit(hasher, h_rows))
         coin.reseed(h_tree.root())
 
-        z_int = coin.draw_felt()
-        z = _limb(z_int)
+        z = jnp.asarray(F.from_int(np.array(coin.draw_felts(d), dtype=object)))
         ood_z_l, ood_zg_l, ood_h_l = self.phase_ood(trace_coeffs, h_coeffs, z)
-        ood_z = [int(v) for v in F.to_int(np.asarray(ood_z_l))]
-        ood_zg = [int(v) for v in F.to_int(np.asarray(ood_zg_l))]
-        ood_h = [int(v) for v in F.to_int(np.asarray(ood_h_l))]
+        ood_z = self._flat(ood_z_l)
+        ood_zg = self._flat(ood_zg_l)
+        ood_h = self._flat(ood_h_l)
         coin.reseed(hasher.host_digest(ood_z + ood_zg + ood_h))
 
-        g_z = _limbs(coin.draw_felts(w))
-        g_zg = _limbs(coin.draw_felts(w))
-        g_h = _limbs(coin.draw_felts(k))
+        g_z = self._draw_coeffs(coin, w).transpose(0, 2, 1)   # [4, d, w]
+        g_zg = self._draw_coeffs(coin, w).transpose(0, 2, 1)
+        g_h = self._draw_coeffs(coin, k).transpose(0, 2, 1)   # [4, d, k]
         deep = self.phase_deep(lde, h_lde, ood_z_l, ood_zg_l, ood_h_l,
                                g_z, g_zg, g_h, z)
 
@@ -310,13 +378,14 @@ class Prover:
             group, levels = commit_kernel(cur)
             tree = M.MerkleTree.from_levels(hasher, levels)
             coin.reseed(tree.root())
-            xi = coin.draw_felt()
-            cur = fold_kernel(cur, _limb(xi))
+            xi = jnp.asarray(F.from_int(
+                np.array(coin.draw_felts(d), dtype=object)))
+            cur = fold_kernel(cur, xi)
             fri_layers.append(FRI.FriLayer(tree, size, o, gw, group))
             size //= fold
             o = pow(o, fold, F.P)
             gw = pow(gw, fold, F.P)
-        remainder = [int(v) for v in F.to_int(np.asarray(cur))]
+        remainder = self._flat(cur)
         coin.reseed(hasher.host_digest(remainder))
 
         nonce = coin.grind(opts.grinding_bits)
@@ -324,7 +393,10 @@ class Prover:
         positions = coin.draw_indices(opts.num_queries, bn)
 
         lde_host = F.to_int(np.asarray(jnp.take(lde, jnp.asarray(positions), axis=-1)))
-        h_host = F.to_int(np.asarray(jnp.take(h_lde, jnp.asarray(positions), axis=-1)))
+        # h rows per query, element-major (m outer, coord inner) to match the
+        # committed row layout
+        h_host = F.to_int(np.asarray(
+            jnp.take(h_rows, jnp.asarray(positions), axis=-1)))   # [k*d, Q]
         t_paths = trace_tree.prove_batch(positions)
         h_paths = h_tree.prove_batch(positions)
 
@@ -334,8 +406,10 @@ class Prover:
         for layer in fri_layers:
             quarter = layer.n // fold
             leaf_idx = [p % quarter for p in p_cur]
+            grp_rows = layer.group.transpose(0, 2, 1, 3).reshape(
+                4, fold * d, quarter)
             vals = F.to_int(np.asarray(
-                jnp.take(layer.group, jnp.asarray(leaf_idx), axis=-1)))  # [fold, Q]
+                jnp.take(grp_rows, jnp.asarray(leaf_idx), axis=-1)))  # [fold*d, Q]
             layer_data.append((leaf_idx, vals, layer.tree.prove_batch(leaf_idx)))
             p_cur = leaf_idx
 

@@ -1,25 +1,25 @@
 """STARK verifier — the framework's acceptance oracle.
 
 Counterpart of `winterfell::verify::<Air>` (used at src/lib.rs:149 and every
-sub-AIR's verify). Runs on host with Python-int field math; the only device use
-is re-evaluating the AIR's (vectorized) transition constraints at the single
-OOD point z with batch size 1, which guarantees the verifier checks the *same*
-constraint code the prover ran (no dual-implementation soundness gap).
+sub-AIR's verify). Runs fully on host with Python-int field math; the AIR's
+*same vectorized constraint code* is executed at the single OOD point z through
+the HostExtOps object-array facade (engine/fieldops.py), for base as well as
+quadratic/cubic extension options — no prover/verifier constraint divergence.
 
 Raises VerificationError with a phase tag on any failure.
 """
 from __future__ import annotations
 
 import numpy as np
-import jax
-import jax.numpy as jnp
 
 from ..ops import field as F
+from ..ops import extfield as XF
 from ..utils import poly_host as PH
-from . import fri as FRI
 from . import merkle as M
+from .air import SequenceAssertion
+from .boundary import group_assertions, quotient_degree
 from .coin import RandomCoin
-from .fieldops import BASE
+from .fieldops import HostExtOps
 from .hasher import get_hasher
 
 
@@ -27,98 +27,144 @@ class VerificationError(Exception):
     pass
 
 
-# cache of jitted constraint evaluators keyed by (air class, n, has_periodic);
-# NOTE: assumes evaluate_transition depends on pub inputs only through the
-# periodic argument (true for all current AIRs).
-_EVAL_CACHE = {}
-
-
 def _fail(phase, msg=""):
     raise VerificationError(f"{phase}: {msg}")
 
 
+def _ext(d):
+    """Host ext helpers bound to degree d (python-int tuples)."""
+    def mul(a, b):
+        return tuple(XF.host_ext_mul(list(a), list(b), d))
+
+    def add(a, b):
+        return tuple((x + y) % F.P for x, y in zip(a, b))
+
+    def sub(a, b):
+        return tuple((x - y) % F.P for x, y in zip(a, b))
+
+    def inv(a):
+        return tuple(XF.host_ext_inv(list(a), d))
+
+    def lift(x):
+        return tuple([int(x) % F.P] + [0] * (d - 1))
+
+    def powi(a, e):
+        r = lift(1)
+        a = tuple(a)
+        while e:
+            if e & 1:
+                r = mul(r, a)
+            a = mul(a, a)
+            e >>= 1
+        return r
+
+    return mul, add, sub, inv, lift, powi
+
+
+def _regroup(flat, d):
+    """Flat element-major int list -> list of d-tuples."""
+    assert len(flat) % d == 0
+    return [tuple(int(v) % F.P for v in flat[i * d:(i + 1) * d])
+            for i in range(len(flat) // d)]
+
+
 def verify(air_class, proof, pub_inputs, air_kwargs=None):
     opts = proof.options
-    assert opts.extension_degree == 1
     n = proof.trace_length
     air = air_class(n, pub_inputs, opts, **(air_kwargs or {}))
     w = proof.trace_width
     assert w == air.trace_width
     b = opts.blowup
     bn = b * n
+    d = opts.extension_degree
     offset = F.GENERATOR
     g_trace = PH.root_of_unity(n)
     hasher = get_hasher(opts.hash_fn)
+    mul, add, sub, inv, lift, powi = _ext(d)
 
-    # note: proof.pub_inputs is informational only — the coin is seeded from the
-    # verifier's own pub_inputs, so tampering is caught cryptographically below.
     coin = RandomCoin(hasher, opts.context_elements(w, n) + air.pub_inputs_elements())
     coin.reseed(proof.trace_root)
 
     degrees = air.transition_degrees()
     assertions = air.assertions()
-    t_alpha = coin.draw_felts(len(degrees))
-    t_beta = coin.draw_felts(len(degrees))
-    b_alpha = coin.draw_felts(len(assertions))
-    b_beta = coin.draw_felts(len(assertions))
-    t_coeffs = list(zip(t_alpha, t_beta))
-    b_coeffs = list(zip(b_alpha, b_beta))
+    t_alpha = [tuple(coin.draw_felts(d)) for _ in range(len(degrees))]
+    t_beta = [tuple(coin.draw_felts(d)) for _ in range(len(degrees))]
+    b_alpha = [tuple(coin.draw_felts(d)) for _ in range(len(assertions))]
+    b_beta = [tuple(coin.draw_felts(d)) for _ in range(len(assertions))]
     k = air.ce_blowup()
     comp_deg = k * n - 1
 
     coin.reseed(proof.h_root)
-    z = coin.draw_felt()
-    zg = z * g_trace % F.P
-    zk = pow(z, k, F.P)
+    z = tuple(coin.draw_felts(d))
+    zg = mul(z, lift(g_trace))
+    zk = powi(z, k)
     coin.reseed(hasher.host_digest(
         list(proof.ood_trace_z) + list(proof.ood_trace_zg) + list(proof.ood_h)))
 
+    ood_z = _regroup(proof.ood_trace_z, d)
+    ood_zg = _regroup(proof.ood_trace_zg, d)
+    ood_h = _regroup(proof.ood_h, d)
+    if len(ood_z) != w or len(ood_h) != k:
+        _fail("ood", "frame size")
+
     # ---- OOD consistency: C(z) from constraints == C(z) from H columns ----
-    # The verifier re-runs the SAME vectorized constraint kernel at batch 1.
-    cur = jnp.asarray(F.from_int(np.array(proof.ood_trace_z, dtype=object)[:, None]))
-    nxt = jnp.asarray(F.from_int(np.array(proof.ood_trace_zg, dtype=object)[:, None]))
-    pvals = air.periodic_values_at(z)
-    periodic = (jnp.asarray(F.from_int(np.array(pvals, dtype=object)[:, None]))
-                if pvals else None)
-    def _stacked(c, x, p=None):
-        ev = air.evaluate_transition(BASE, c, x, p)
-        return jnp.stack(ev, axis=1) if isinstance(ev, (list, tuple)) else ev
+    fx = HostExtOps(d)
+    cur = fx.from_coeffs([list(v) for v in ood_z])
+    nxt = fx.from_coeffs([list(v) for v in ood_zg])
+    pvals = _periodic_values_at_ext(air, z, d, mul, add, lift, powi)
+    periodic = fx.from_coeffs(pvals) if pvals is not None else None
+    evals = air.evaluate_transition(fx, cur, nxt, periodic)
+    c_at_z = [tuple(evals[0, i, 0]) for i in range(evals.shape[1])]
 
-    key = (air_class.__name__, n, periodic is None)
-    if key not in _EVAL_CACHE:
-        if periodic is None:
-            _EVAL_CACHE[key] = jax.jit(lambda c, x: _stacked(c, x))
-        else:
-            _EVAL_CACHE[key] = jax.jit(_stacked)
-    evals = (_EVAL_CACHE[key](cur, nxt) if periodic is None
-             else _EVAL_CACHE[key](cur, nxt, periodic))
-    c_at_z = [int(v) for v in F.to_int(np.asarray(evals))[:, 0]]
-
-    zt = (pow(z, n, F.P) - 1) * pow(z - pow(g_trace, n - 1, F.P), F.P - 2, F.P) % F.P
-    zt_inv = pow(zt, F.P - 2, F.P)
-    comp_z = 0
-    for (alpha, beta), dg, cz in zip(t_coeffs, degrees, c_at_z):
-        q = cz * zt_inv % F.P
+    z_n = powi(z, n)
+    zt = mul(sub(z_n, lift(1)), inv(sub(z, lift(pow(g_trace, n - 1, F.P)))))
+    zt_inv = inv(zt)
+    comp_z = lift(0)
+    for (alpha, beta), dg, cz in zip(zip(t_alpha, t_beta), degrees, c_at_z):
+        q = mul(cz, zt_inv)
         adj = comp_deg - (dg.poly_degree(n) - (n - 1))
-        comp_z = (comp_z + q * (alpha + beta * pow(z, adj, F.P))) % F.P
-    from .boundary import verify_boundary_at
-    comp_z = (comp_z + verify_boundary_at(
-        assertions, n, g_trace, z, comp_deg,
-        [int(v) for v in proof.ood_trace_z], b_coeffs)) % F.P
+        comp_z = add(comp_z, mul(q, add(alpha, mul(beta, powi(z, adj)))))
 
-    h_at_z = sum(hm * pow(z, m, F.P) for m, hm in enumerate(proof.ood_h)) % F.P
-    if comp_z % F.P != h_at_z:
+    # boundary terms
+    cmap = {id(a): (al, be) for a, al, be in zip(assertions, b_alpha, b_beta)}
+    for key, group in group_assertions(assertions, n).items():
+        if key[0] == "s":
+            zden = sub(z, lift(pow(g_trace, key[1], F.P)))
+        else:
+            m = n // key[2]
+            zden = sub(powi(z, m), lift(pow(g_trace, key[1] * m, F.P)))
+        zden_inv = inv(zden)
+        adj = comp_deg - quotient_degree(key, n)
+        zadj = powi(z, adj)
+        for a in group:
+            alpha, beta = cmap[id(a)]
+            if isinstance(a, SequenceAssertion):
+                m = n // a.period
+                qc = PH.intt([int(v) % F.P for v in a.values])
+                y = mul(z, lift(pow(pow(g_trace, a.first_step, F.P), F.P - 2, F.P)))
+                bval = lift(0)
+                for c in reversed(qc):
+                    bval = add(mul(bval, y), lift(c))
+            else:
+                bval = lift(a.value % F.P)
+            qv = mul(sub(ood_z[a.column], bval), zden_inv)
+            comp_z = add(comp_z, mul(qv, add(alpha, mul(beta, zadj))))
+
+    h_at_z = lift(0)
+    for m_i, hv in enumerate(ood_h):
+        h_at_z = add(h_at_z, mul(hv, powi(z, m_i)))
+    if comp_z != h_at_z:
         _fail("ood", f"composition mismatch {comp_z} != {h_at_z}")
 
     # ---- DEEP coefficients & FRI coin replay ------------------------------
-    g_z = coin.draw_felts(w)
-    g_zg = coin.draw_felts(w)
-    g_h = coin.draw_felts(k)
+    g_z = [tuple(coin.draw_felts(d)) for _ in range(w)]
+    g_zg = [tuple(coin.draw_felts(d)) for _ in range(w)]
+    g_h = [tuple(coin.draw_felts(d)) for _ in range(k)]
 
     fri_xis = []
     for root in proof.fri_roots:
         coin.reseed(tuple(root))
-        fri_xis.append(coin.draw_felt())
+        fri_xis.append(tuple(coin.draw_felts(d)))
     coin.reseed(hasher.host_digest(list(proof.fri_remainder)))
 
     if not coin.check_pow(proof.pow_nonce, opts.grinding_bits):
@@ -128,19 +174,24 @@ def verify(air_class, proof, pub_inputs, air_kwargs=None):
     if positions != [q.index for q in proof.queries]:
         _fail("queries", "positions mismatch")
 
-    # ---- remainder low-degree check --------------------------------------
+    # ---- remainder low-degree check (per extension coordinate) ------------
     n_layers = len(proof.fri_roots)
     fold = opts.fri_folding
     rem_n = bn // (fold ** n_layers)
-    if len(proof.fri_remainder) != rem_n or rem_n > opts.fri_max_remainder:
+    remainder = _regroup(proof.fri_remainder, d)
+    if len(remainder) != rem_n or rem_n > opts.fri_max_remainder:
         _fail("fri", "remainder size")
     rem_offset = pow(offset, fold ** n_layers, F.P)
-    if not FRI.verify_remainder(list(proof.fri_remainder), b, rem_offset):
-        _fail("fri", "remainder degree too high")
+    o_inv = pow(rem_offset, F.P - 2, F.P)
+    for c in range(d):
+        coeffs = PH.intt([r[c] for r in remainder])
+        coeffs = [x * pow(o_inv, i, F.P) % F.P for i, x in enumerate(coeffs)]
+        if PH.poly_degree(coeffs) >= rem_n // b:
+            _fail("fri", "remainder degree too high")
 
     # ---- per-query checks -------------------------------------------------
     w_big = PH.root_of_unity(bn)
-    inv = lambda x: pow(x, F.P - 2, F.P)
+    i4 = PH.root_of_unity(4)
     for q in proof.queries:
         pos = q.index
         if not M.verify_path(hasher, proof.trace_root, pos,
@@ -150,13 +201,25 @@ def verify(air_class, proof, pub_inputs, air_kwargs=None):
                              hasher.host_digest(q.h_row), q.h_path):
             _fail("merkle", f"h path @ {pos}")
         x = offset * pow(w_big, pos, F.P) % F.P
-        deep = 0
+        h_row = _regroup(q.h_row, d)
+        if len(h_row) != k:
+            _fail("h", "row size")
+        inv_xz = inv(sub(lift(x), z))
+        inv_xzg = inv(sub(lift(x), zg))
+        inv_xzk = inv(sub(lift(x), zk))
+        deep = lift(0)
+        acc = lift(0)
         for j in range(w):
-            deep += g_z[j] * (q.trace_row[j] - proof.ood_trace_z[j]) % F.P * inv(x - z)
-            deep += g_zg[j] * (q.trace_row[j] - proof.ood_trace_zg[j]) % F.P * inv(x - zg)
-        for m in range(k):
-            deep += g_h[m] * (q.h_row[m] - proof.ood_h[m]) % F.P * inv(x - zk)
-        deep %= F.P
+            acc = add(acc, mul(g_z[j], sub(lift(q.trace_row[j]), ood_z[j])))
+        deep = add(deep, mul(acc, inv_xz))
+        acc = lift(0)
+        for j in range(w):
+            acc = add(acc, mul(g_zg[j], sub(lift(q.trace_row[j]), ood_zg[j])))
+        deep = add(deep, mul(acc, inv_xzg))
+        acc = lift(0)
+        for m_i in range(k):
+            acc = add(acc, mul(g_h[m_i], sub(h_row[m_i], ood_h[m_i])))
+        deep = add(deep, mul(acc, inv_xzk))
 
         # follow the FRI folding chain
         if len(q.fri_openings) != n_layers:
@@ -166,25 +229,53 @@ def verify(air_class, proof, pub_inputs, air_kwargs=None):
         cur_n = bn
         cur_off = offset
         cur_gen = w_big
-        for li, (vals, path) in enumerate(q.fri_openings):
+        inv2 = lift(pow(2, F.P - 2, F.P))
+
+        def fold2h(e_x, e_negx, xi, xv):
+            s = mul(add(e_x, e_negx), inv2)
+            dd = mul(sub(e_x, e_negx), inv2)
+            return add(s, mul(mul(xi, dd), lift(pow(xv, F.P - 2, F.P))))
+
+        for li, (vals_flat, path) in enumerate(q.fri_openings):
             quarter = cur_n // fold
             leaf_idx = cur_pos % quarter
             slot = cur_pos // quarter
             if not M.verify_path(hasher, tuple(proof.fri_roots[li]), leaf_idx,
-                                 hasher.host_digest(vals), path):
+                                 hasher.host_digest(vals_flat), path):
                 _fail("fri", f"layer {li} path")
-            if vals[slot] % F.P != cur_val % F.P:
+            vals = _regroup(vals_flat, d)
+            if vals[slot] != cur_val:
                 _fail("fri", f"layer {li} value mismatch @ {pos}")
             x0 = cur_off * pow(cur_gen, leaf_idx, F.P) % F.P
+            xi = fri_xis[li]
             if fold == 4:
-                cur_val = FRI.fold4_host(list(vals), fri_xis[li], x0, cur_n)
+                a1 = fold2h(vals[0], vals[2], xi, x0)
+                b1 = fold2h(vals[1], vals[3], xi, x0 * i4 % F.P)
+                cur_val = fold2h(a1, b1, mul(xi, xi), pow(x0, 2, F.P))
             else:
-                cur_val = FRI.fold2_host(vals[0], vals[1], fri_xis[li], x0)
+                cur_val = fold2h(vals[0], vals[1], xi, x0)
             cur_pos = leaf_idx
             cur_n //= fold
             cur_off = pow(cur_off, fold, F.P)
             cur_gen = pow(cur_gen, fold, F.P)
-        if proof.fri_remainder[cur_pos] % F.P != cur_val % F.P:
+        if remainder[cur_pos] != cur_val:
             _fail("fri", f"remainder mismatch @ {pos}")
 
     return True
+
+
+def _periodic_values_at_ext(air, z, d, mul, add, lift, powi):
+    """Periodic column polynomial values at the (possibly ext) point z."""
+    cols = air.periodic_columns()
+    if cols is None:
+        return None
+    n = air.trace_length
+    out = []
+    for col in np.asarray(cols, dtype=object):
+        coeffs = PH.intt([int(v) % F.P for v in col])
+        y = powi(z, n // len(col))
+        acc = lift(0)
+        for c in reversed(coeffs):
+            acc = add(mul(acc, y), lift(c))
+        out.append(list(acc))
+    return out
