@@ -8,14 +8,16 @@ from certificate_stark_tpu.models import schnorr as SC
 OPTS = ProofOptions(num_queries=14, blowup=8, hash_fn="rescue")
 
 
-def test_schnorr_roundtrip():
-    ex = SC.SchnorrExample(1, OPTS)
+def test_schnorr_roundtrip_two_sigs():
+    # 2 signatures: exercises multi-value sequence assertions and the
+    # higher-degree pkey periodic columns (reference tests use 2 sigs)
+    ex = SC.SchnorrExample(2, OPTS)
     proof = ex.prove()
     assert ex.verify(proof)
 
 
 def test_schnorr_wrong_message_rejected():
-    ex = SC.SchnorrExample(1, OPTS, seed=9)
+    ex = SC.SchnorrExample(2, OPTS, seed=9)
     proof = ex.prove()
     bad_msgs = [list(reversed(m)) for m in ex.messages]
     with pytest.raises(VerificationError):
