@@ -99,6 +99,24 @@ class Proof:
     def size_bytes(self) -> int:
         return len(self.to_bytes())
 
+    def security_level(self, conjectured: bool = True) -> int:
+        """Estimated security in bits (counterpart of winterfell's
+        `StarkProof::security_level`, printed by the reference example CLI).
+
+        Conjectured: queries * log2(blowup) + grinding, capped by the
+        field+extension size and the commitment hash (Rescue digests carry
+        4*63 collision-relevant bits in the reference's as_bytes truncation;
+        we use the full 7-element digest -> 220 bits, sha256 -> 128).
+        """
+        import math
+        opts = self.options
+        field_bits = 63 * opts.extension_degree - math.ceil(
+            math.log2(self.trace_length * opts.blowup))
+        query_bits = opts.num_queries * int(math.log2(opts.blowup)) \
+            + opts.grinding_bits
+        hash_bits = 220 if opts.hash_fn == "rescue" else 128
+        return max(0, min(field_bits, query_bits, hash_bits))
+
     @classmethod
     def from_bytes(cls, data: bytes) -> "Proof":
         """Inverse of to_bytes (winterfell's StarkProof is Deserializable;
