@@ -27,3 +27,11 @@ def test_range_wrong_number_rejected():
     proof = ex.prove()
     with pytest.raises(VerificationError):
         ex.verify(proof, number=(-98765) % P)
+
+
+def test_range_sha256_hasher():
+    """e2e with the byte-oriented SHA-256 commitment hasher."""
+    opts = ProofOptions(num_queries=14, blowup=8, hash_fn="sha256")
+    ex = RG.RangeExample(424242, opts)
+    proof = ex.prove()
+    assert ex.verify(proof)
