@@ -1,0 +1,16 @@
+"""Pallas kernel prototypes (interpret mode on CPU) vs jnp field kernels."""
+import numpy as np
+import jax.numpy as jnp
+
+from certificate_stark_tpu.ops import field as F
+from certificate_stark_tpu.ops import pallas_kernels as PK
+
+
+def test_pallas_mul_matches():
+    rng = np.random.default_rng(2)
+    a = rng.integers(0, F.P, size=2048, dtype=np.uint64)
+    b = rng.integers(0, F.P, size=2048, dtype=np.uint64)
+    la, lb = jnp.asarray(F.from_int(a)), jnp.asarray(F.from_int(b))
+    got = np.asarray(PK.pallas_mul(la, lb, interpret=True))
+    exp = np.asarray(F.mul(la, lb))
+    assert np.array_equal(got, exp)
