@@ -8,10 +8,13 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     flags = (flags + " --xla_force_host_platform_device_count=8").strip()
-# serialize CPU codegen: parallel LLVM codegen segfaults sporadically on the
-# large constraint-evaluation graphs in this environment
+# serialize CPU codegen + skip expensive LLVM passes: parallel/optimizing
+# LLVM codegen segfaults sporadically on the large constraint-evaluation
+# graphs in this environment (and compiles much slower)
 if "parallel_codegen" not in flags:
     flags += " --xla_cpu_parallel_codegen_split_count=1"
+if "llvm_disable_expensive_passes" not in flags:
+    flags += " --xla_llvm_disable_expensive_passes=true"
 os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
