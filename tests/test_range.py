@@ -35,3 +35,13 @@ def test_range_sha256_hasher():
     ex = RG.RangeExample(424242, opts)
     proof = ex.prove()
     assert ex.verify(proof)
+
+
+def test_range_with_grinding():
+    """PoW grinding path (grinding_bits > 0) through prove and verify."""
+    opts = ProofOptions(num_queries=14, blowup=8, hash_fn="rescue",
+                        grinding_bits=4)
+    ex = RG.RangeExample(777, opts)
+    proof = ex.prove()
+    assert proof.pow_nonce >= 0
+    assert ex.verify(proof)
