@@ -40,11 +40,19 @@ class RescueHasher:
         """level: [4, 7, 2m] -> [4, 7, m] by merging adjacent pairs."""
         return R.merge(level[..., 0::2], level[..., 1::2])
 
-    # -- host --------------------------------------------------------------
+    # -- host (native C library when built; python-int fallback) -----------
+    def __init__(self):
+        from ..utils import native as NV
+        self._nv = NV if NV.available() else None
+
     def host_digest(self, elements) -> tuple:
+        if self._nv is not None:
+            return self._nv.digest([int(e) % F.P for e in elements])
         return tuple(RR.digest([int(e) % F.P for e in elements]))
 
     def host_merge(self, d0, d1) -> tuple:
+        if self._nv is not None:
+            return self._nv.merge(d0, d1)
         return tuple(RR.merge(list(d0), list(d1)))
 
     def to_ints(self, device_digest_col) -> tuple:

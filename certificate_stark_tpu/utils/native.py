@@ -1,0 +1,75 @@
+"""ctypes bindings for the native host crypto library (native/libf63.so).
+
+The library accelerates the protocol's host-serial paths (Fiat-Shamir digests,
+query-side Merkle path checks, batch field ops in the verifier). Falls back to
+the Python implementations transparently when the library isn't built —
+`rescue_ref` and friends remain the semantic reference.
+
+Build once with scripts/build_native.sh (gcc; no pybind11 needed).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+_LIB = None
+
+
+def lib():
+    global _LIB
+    if _LIB is None:
+        path = os.path.join(os.path.dirname(__file__), "..", "..", "native",
+                            "libf63.so")
+        path = os.path.abspath(path)
+        if not os.path.exists(path):
+            raise FileNotFoundError(path)
+        L = ctypes.CDLL(path)
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        L.rescue_digest.argtypes = [u64p, ctypes.c_size_t, u64p]
+        L.rescue_merge.argtypes = [u64p, u64p, u64p]
+        L.rescue_permutation.argtypes = [u64p]
+        L.rescue_verify_path.argtypes = [u64p, ctypes.c_uint64, u64p, u64p,
+                                         ctypes.c_size_t]
+        L.rescue_verify_path.restype = ctypes.c_int
+        L.f63_inv_vec.argtypes = [u64p, u64p, ctypes.c_size_t]
+        _LIB = L
+    return _LIB
+
+
+def available() -> bool:
+    try:
+        lib()
+        return True
+    except (FileNotFoundError, OSError):
+        return False
+
+
+def _arr(vals):
+    return np.asarray([int(v) for v in vals], dtype=np.uint64)
+
+
+def _p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+
+
+def digest(elements) -> tuple:
+    data = _arr(elements)
+    out = np.empty(7, dtype=np.uint64)
+    lib().rescue_digest(_p(data), len(data), _p(out))
+    return tuple(int(v) for v in out)
+
+
+def merge(d0, d1) -> tuple:
+    a, b = _arr(d0), _arr(d1)
+    out = np.empty(7, dtype=np.uint64)
+    lib().rescue_merge(_p(a), _p(b), _p(out))
+    return tuple(int(v) for v in out)
+
+
+def verify_path(root, index, leaf, path) -> bool:
+    r, lf = _arr(root), _arr(leaf)
+    flat = _arr([x for d in path for x in d])
+    return bool(lib().rescue_verify_path(_p(r), int(index), _p(lf), _p(flat),
+                                         len(path)))
