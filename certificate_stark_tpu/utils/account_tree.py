@@ -12,12 +12,24 @@ from . import rescue_ref as RR
 
 ZERO_DIGEST = (0,) * 7
 
+try:
+    from . import native as _NV
+    _NV = _NV if _NV.available() else None
+except Exception:  # noqa: BLE001
+    _NV = None
+
+
+def _merge(d0, d1):
+    if _NV is not None:
+        return _NV.merge(d0, d1)
+    return tuple(RR.merge(list(d0), list(d1)))
+
 
 def leaf_hash(values14) -> tuple:
     """Account leaf digest: merge(H(v0..6), H(v7..13)) = perm(v0..13)[0..7]
     (reference src/lib.rs:287-292; equals one permutation of the 14 values)."""
-    st = [int(v) % RR.P for v in values14]
-    return tuple(RR.permutation(st)[:7])
+    vals = [int(v) % RR.P for v in values14]
+    return _merge(vals[:7], vals[7:])
 
 
 class AccountTree:
@@ -26,7 +38,7 @@ class AccountTree:
         # empty[l] = digest of an empty subtree of height l (empty[0] = zero leaf)
         self.empty = [ZERO_DIGEST]
         for _ in range(depth):
-            self.empty.append(tuple(RR.merge(self.empty[-1], self.empty[-1])))
+            self.empty.append(_merge(self.empty[-1], self.empty[-1]))
         self.nodes = {}  # (level, index) -> digest; level 0 = leaves
 
     def _get(self, level, idx):
@@ -39,7 +51,7 @@ class AccountTree:
             left = self._get(lvl, pair_base)
             right = self._get(lvl, pair_base + 1)
             idx >>= 1
-            self.nodes[(lvl + 1, idx)] = tuple(RR.merge(left, right))
+            self.nodes[(lvl + 1, idx)] = _merge(left, right)
 
     def prove(self, idx: int) -> list:
         """[leaf, sibling_0, ..., sibling_{depth-1}] digests (winterfell order)."""
@@ -58,5 +70,5 @@ def verify_path(root, idx, path, depth) -> bool:
     for lvl in range(depth):
         sib = path[1 + lvl]
         bit = (idx >> lvl) & 1
-        cur = tuple(RR.merge(sib, cur) if bit else RR.merge(cur, sib))
+        cur = _merge(sib, cur) if bit else _merge(cur, sib)
     return cur == tuple(root)
