@@ -12,7 +12,6 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import numpy as np
-import jax.numpy as jnp
 
 from ..ops import field as F
 

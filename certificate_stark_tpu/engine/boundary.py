@@ -19,7 +19,7 @@ import numpy as np
 
 from ..ops import field as F
 from ..utils import poly_host as PH
-from .air import Assertion, PeriodicAssertion, SequenceAssertion
+from .air import Assertion, SequenceAssertion
 
 
 @dataclass

@@ -17,7 +17,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from ..ops import field as F, ntt as NTT
+from ..ops import field as F
 from . import merkle as M
 from ..utils import poly_host as PH
 

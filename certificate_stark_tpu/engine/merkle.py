@@ -8,9 +8,6 @@ Hasher (engine/hasher.py); every level is computed by one batched merge kernel.
 from __future__ import annotations
 
 import numpy as np
-import jax
-
-from . import hasher as H
 
 
 class MerkleTree:

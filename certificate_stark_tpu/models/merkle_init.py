@@ -15,7 +15,6 @@ Quirks replicated from the reference:
 from __future__ import annotations
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from ..engine.air import Air, Assertion, ConstraintDegree
