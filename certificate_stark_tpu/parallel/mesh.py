@@ -39,6 +39,8 @@ def sharded_prove_core(prover, mesh: Mesh, axis: str = "domain"):
         h_coeffs, h_lde = prover.phase_composition(
             lde, t_alpha, t_beta, b_alpha, b_beta,
             jnp.asarray(prover._periodic), prover._b_evals)
-        return prover.hasher.hash_columns(h_lde)
+        # h_lde: [4, d, k, bn] -> flatten the ext axis into columns (prove())
+        h_rows = h_lde.transpose(0, 2, 1, 3).reshape(4, -1, h_lde.shape[-1])
+        return prover.hasher.hash_columns(h_rows)
 
     return jax.jit(core, in_shardings=(shard, rep, rep, rep, rep))
