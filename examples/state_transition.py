@@ -22,11 +22,19 @@ def main():
     ap.add_argument("-q", "--queries", type=int, default=42)
     ap.add_argument("-b", "--blowup", type=int, default=8)
     ap.add_argument("-g", "--grinding", type=int, default=0)
-    ap.add_argument("--hash-fn", default="rescue", choices=["rescue", "sha256"])
+    ap.add_argument("--hash-fn", default="rescue",
+                    choices=["rescue", "sha256", "blake3"])
     ap.add_argument("-e", "--extension", type=int, default=1, choices=[1, 2, 3])
     ap.add_argument("-f", "--fri-folding", type=int, default=4, choices=[2, 4])
     ap.add_argument("--depth", type=int, default=15)
+    ap.add_argument("-v", "--verbose", action="store_true",
+                    help="per-phase prover timing (reference: RUST_LOG=debug)")
     args = ap.parse_args()
+
+    if args.verbose:
+        import logging
+        logging.basicConfig(level=logging.DEBUG,
+                            format="%(name)s %(message)s")
 
     from certificate_stark_tpu.engine.options import ProofOptions
     from certificate_stark_tpu.models.transaction import TransactionExample
@@ -44,6 +52,7 @@ def main():
     proof = ex.prove()
     print(f"proof generated in {time.time() - t0:.2f} s")
     print(f"proof size: {proof.size_bytes() / 1024:.1f} KB")
+    print(f"proof security: {proof.security_level()} bits")
 
     t0 = time.time()
     assert ex.verify(proof)
