@@ -24,6 +24,7 @@ sys.path.insert(0, "/root/repo")
 
 BASELINE_EST_S = 1.0  # provisional; see BASELINE.md
 CHAIN = int(os.environ.get("BENCH_CHAIN", "1024"))
+HASH = os.environ.get("BENCH_HASH", "rescue")  # reference benches use blake3
 
 
 def _ensure_backend():
@@ -45,7 +46,7 @@ def main():
     from certificate_stark_tpu.models import rescue_chain as RC
 
     opts = ProofOptions(num_queries=42, blowup=4, grinding_bits=0,
-                       hash_fn="rescue", extension_degree=1,
+                       hash_fn=HASH, extension_degree=1,
                        fri_folding=4, fri_max_remainder=256)
     ex = RC.RescueChainExample(CHAIN, opts)
     air = RC.RescueChainAir(CHAIN * 8, ex.pub_inputs(), opts)

@@ -38,6 +38,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--full", action="store_true",
                     help="reference-size workloads (chain 1024, 128 units, depth 15)")
+    ap.add_argument("--hash-fn", default="rescue",
+                    choices=["rescue", "sha256", "blake3"],
+                    help="commitment hash (reference benches use blake3)")
     args = ap.parse_args()
 
     from certificate_stark_tpu.engine.options import ProofOptions
@@ -46,8 +49,8 @@ def main():
                                               transaction as TX)
 
     q = 42
-    o4 = ProofOptions(num_queries=q, blowup=4, hash_fn="rescue")
-    o8 = ProofOptions(num_queries=q, blowup=8, hash_fn="rescue")
+    o4 = ProofOptions(num_queries=q, blowup=4, hash_fn=args.hash_fn)
+    o8 = ProofOptions(num_queries=q, blowup=8, hash_fn=args.hash_fn)
     chain = 1024 if args.full else 64
     units = 128 if args.full else 2
     depth = 15 if args.full else 3

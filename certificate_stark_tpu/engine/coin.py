@@ -75,9 +75,74 @@ class RandomCoin:
         bound = 1 << (63 - grinding_bits) if self.h.name == "rescue" else 1 << (32 - grinding_bits)
         return lead < bound
 
-    def grind(self, grinding_bits: int, max_iter: int = 1 << 24) -> int:
-        """Find a PoW nonce on host (device grinding is wired in later)."""
-        for nonce in range(max_iter):
-            if self.check_pow(nonce, grinding_bits):
+    def grind(self, grinding_bits: int, max_iter: int = 1 << 26) -> int:
+        """Find the smallest PoW nonce (reference: winterfell grinding over the
+        coin state; expected 2^grinding_bits trials).
+
+        Small factors run the host loop; larger ones search on device in
+        batches (the hash kernels are batched over a trailing axis, so one
+        dispatch tests 2^15 nonces — VPU-parallel PoW). Both paths scan
+        nonces in increasing order, so they return the same (first) hit.
+        """
+        if grinding_bits == 0:
+            return 0
+        if grinding_bits <= 10:
+            for nonce in range(max_iter):
+                if self.check_pow(nonce, grinding_bits):
+                    return nonce
+            raise RuntimeError("grinding failed")
+        return self._grind_device(grinding_bits, max_iter)
+
+    def _grind_device(self, g: int, max_iter: int, batch: int = 1 << 15) -> int:
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+        from ..ops import rescue as R, sha256 as S, blake3 as B3
+
+        name = self.h.name
+        if name == "rescue":
+            state_l = jnp.asarray(
+                F.from_int(np.array(list(self.state), dtype=object)))  # [4,7]
+
+            @jax.jit
+            def hits(nonce_std):                       # [4, B] standard limbs
+                msgs = jnp.concatenate(
+                    [jnp.broadcast_to(state_l[:, :, None],
+                                      (4, 7, nonce_std.shape[-1])),
+                     F.to_mont(nonce_std)[:, None, :]], axis=1)   # [4, 8, B]
+                std = F.from_mont(R.digest(msgs)[:, 0, :])        # [4, B]
+                hi = std[2] | (std[3] << jnp.uint32(16))
+                lo = std[0] | (std[1] << jnp.uint32(16))
+                k = 63 - g
+                if k >= 32:
+                    return hi < jnp.uint32(1 << (k - 32))
+                return (hi == 0) & (lo < jnp.uint32(1 << k))
+
+            def batch_hits(base):
+                n = np.arange(base, base + batch, dtype=np.uint32)
+                std = np.zeros((4, batch), dtype=np.uint32)
+                std[0], std[1] = n & 0xFFFF, n >> 16
+                return np.asarray(hits(jnp.asarray(std)))
+        else:  # byte hashers: block = state words ++ nonce*8 (= host_merge)
+            words = B3.blake3_words if name == "blake3" else S.sha256_words
+            state_w = jnp.asarray(np.array(self.state, dtype=np.uint32))  # [8]
+
+            @jax.jit
+            def hits(nonce_w):                          # [B] uint32
+                blk = jnp.concatenate(
+                    [jnp.broadcast_to(state_w[:, None], (8, nonce_w.shape[0])),
+                     jnp.broadcast_to(nonce_w[None, :], (8, nonce_w.shape[0]))],
+                    axis=0)                             # [16, B]
+                return words(blk)[0] < jnp.uint32(1 << (32 - g))
+
+            def batch_hits(base):
+                n = np.arange(base, base + batch, dtype=np.uint32)
+                return np.asarray(hits(jnp.asarray(n)))
+
+        for base in range(0, max_iter, batch):
+            h = batch_hits(base)
+            if h.any():
+                nonce = base + int(np.argmax(h))
+                assert self.check_pow(nonce, g)
                 return nonce
         raise RuntimeError("grinding failed")

@@ -17,6 +17,9 @@ same kernels, so one code path serves all options.
 """
 from __future__ import annotations
 
+import logging
+import time
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -29,6 +32,29 @@ from .coin import RandomCoin
 from .fieldops import BASE
 from .hasher import get_hasher
 from .proof import Proof, QueryOpening
+
+
+logger = logging.getLogger("certificate_stark_tpu.prover")
+
+
+class _PhaseTimer:
+    """Per-phase wall spans, mirroring the reference's Instant + log::debug
+    instrumentation around each proving phase (src/lib.rs:118-137). Device
+    arrays are synced before reading the clock ONLY when debug logging is on,
+    so the instrumented path costs nothing in production (no barriers)."""
+
+    def __init__(self):
+        self.enabled = logger.isEnabledFor(logging.DEBUG)
+        self.t = time.perf_counter() if self.enabled else 0.0
+
+    def mark(self, label: str, *arrays):
+        if not self.enabled:
+            return
+        for a in arrays:
+            jax.block_until_ready(a)
+        now = time.perf_counter()
+        logger.debug("%-22s %8.1f ms", label, (now - self.t) * 1e3)
+        self.t = now
 
 
 def _limb(x: int) -> jnp.ndarray:
@@ -328,14 +354,37 @@ class Prover:
         rest = ints.reshape(d, -1)
         return [int(rest[c, j]) for j in range(rest.shape[1]) for c in range(d)]
 
-    def prove(self, trace: jnp.ndarray) -> Proof:
+    def checkpointer(self, directory: str):
+        """A phase Checkpointer bound to this proving context (AIR shape +
+        options + public inputs), for `prove(..., checkpoint=...)`."""
+        from .checkpoint import Checkpointer
+        ctx = [type(self.air).__name__, self.w, self.n,
+               self.opts.context_elements(self.w, self.n),
+               self.air.pub_inputs_elements(), self.hasher.name]
+        return Checkpointer(directory, context=ctx)
+
+    def prove(self, trace: jnp.ndarray, checkpoint=None) -> Proof:
         air, opts, hasher = self.air, self.opts, self.hasher
         n, w, b, bn, k = self.n, self.w, self.b, self.bn, self.k
         d = self.d
         assert trace.shape == (4, w, n)
+        tm = _PhaseTimer()
+        ck = checkpoint
 
-        trace_coeffs, lde = self.phase_trace(trace)
-        trace_tree = M.MerkleTree.from_levels(hasher, _commit(hasher, lde))
+        data = ck.load("trace") if ck else None
+        if data is not None:
+            trace_coeffs = jnp.asarray(data["trace_coeffs"])
+            lde = jnp.asarray(data["lde"])
+            t_levels = [jnp.asarray(x) for x in ck.unpack_levels(data)]
+        else:
+            trace_coeffs, lde = self.phase_trace(trace)
+            tm.mark("trace LDE", lde)
+            t_levels = _commit(hasher, lde)
+            if ck:
+                ck.save_levels("trace", {"trace_coeffs": trace_coeffs,
+                                         "lde": lde}, t_levels)
+        trace_tree = M.MerkleTree.from_levels(hasher, t_levels)
+        tm.mark("trace commit", trace_tree.levels[-1])
 
         coin = RandomCoin(hasher, opts.context_elements(w, n)
                           + air.pub_inputs_elements())
@@ -347,16 +396,36 @@ class Prover:
         b_alpha = self._draw_coeffs(coin, nb)
         b_beta = self._draw_coeffs(coin, nb)
 
-        h_coeffs, h_lde = self.phase_composition(
-            lde, t_alpha, t_beta, b_alpha, b_beta,
-            jnp.asarray(self._periodic) if self._periodic is not None
-            else jnp.zeros((4, 0, self.bn), jnp.uint32), self._b_evals)
+        data = ck.load("composition") if ck else None
+        if data is not None:
+            h_coeffs = jnp.asarray(data["h_coeffs"])
+            h_lde = jnp.asarray(data["h_lde"])
+            h_levels = [jnp.asarray(x) for x in ck.unpack_levels(data)]
+        else:
+            h_coeffs, h_lde = self.phase_composition(
+                lde, t_alpha, t_beta, b_alpha, b_beta,
+                jnp.asarray(self._periodic) if self._periodic is not None
+                else jnp.zeros((4, 0, self.bn), jnp.uint32), self._b_evals)
+            tm.mark("constraint eval", h_lde)
+            h_levels = _commit(
+                hasher, h_lde.transpose(0, 2, 1, 3).reshape(4, k * d, bn))
+            if ck:
+                ck.save_levels("composition", {"h_coeffs": h_coeffs,
+                                               "h_lde": h_lde}, h_levels)
         h_rows = h_lde.transpose(0, 2, 1, 3).reshape(4, k * d, bn)
-        h_tree = M.MerkleTree.from_levels(hasher, _commit(hasher, h_rows))
+        h_tree = M.MerkleTree.from_levels(hasher, h_levels)
+        tm.mark("composition commit", h_tree.levels[-1])
         coin.reseed(h_tree.root())
 
         z = jnp.asarray(F.from_int(np.array(coin.draw_felts(d), dtype=object)))
-        ood_z_l, ood_zg_l, ood_h_l = self.phase_ood(trace_coeffs, h_coeffs, z)
+        data = ck.load("deep") if ck else None
+        if data is not None:
+            ood_z_l = jnp.asarray(data["ood_z"])
+            ood_zg_l = jnp.asarray(data["ood_zg"])
+            ood_h_l = jnp.asarray(data["ood_h"])
+        else:
+            ood_z_l, ood_zg_l, ood_h_l = self.phase_ood(
+                trace_coeffs, h_coeffs, z)
         ood_z = self._flat(ood_z_l)
         ood_zg = self._flat(ood_zg_l)
         ood_h = self._flat(ood_h_l)
@@ -365,17 +434,32 @@ class Prover:
         g_z = self._draw_coeffs(coin, w).transpose(0, 2, 1)   # [4, d, w]
         g_zg = self._draw_coeffs(coin, w).transpose(0, 2, 1)
         g_h = self._draw_coeffs(coin, k).transpose(0, 2, 1)   # [4, d, k]
-        deep = self.phase_deep(lde, h_lde, ood_z_l, ood_zg_l, ood_h_l,
-                               g_z, g_zg, g_h, z)
+        if data is not None:
+            deep = jnp.asarray(data["deep"])
+        else:
+            deep = self.phase_deep(lde, h_lde, ood_z_l, ood_zg_l, ood_h_l,
+                                   g_z, g_zg, g_h, z)
+            if ck:
+                ck.save("deep", ood_z=ood_z_l, ood_zg=ood_zg_l,
+                        ood_h=ood_h_l, deep=deep)
+        tm.mark("OOD + DEEP", deep)
 
         # FRI commit phase
         fri_layers = []
         cur = deep
         size, o, gw = bn, self.offset, self.gen_big
         fold = opts.fri_folding
+        li = 0
         while size > opts.fri_max_remainder:
             commit_kernel, fold_kernel = self._fri_kernels[size]
-            group, levels = commit_kernel(cur)
+            data = ck.load(f"fri{li}") if ck else None
+            if data is not None:
+                group = jnp.asarray(data["group"])
+                levels = [jnp.asarray(x) for x in ck.unpack_levels(data)]
+            else:
+                group, levels = commit_kernel(cur)
+                if ck:
+                    ck.save_levels(f"fri{li}", {"group": group}, levels)
             tree = M.MerkleTree.from_levels(hasher, levels)
             coin.reseed(tree.root())
             xi = jnp.asarray(F.from_int(
@@ -385,11 +469,20 @@ class Prover:
             size //= fold
             o = pow(o, fold, F.P)
             gw = pow(gw, fold, F.P)
+            li += 1
         remainder = self._flat(cur)
         coin.reseed(hasher.host_digest(remainder))
+        tm.mark("FRI layers")
 
-        nonce = coin.grind(opts.grinding_bits)
+        data = ck.load("pow") if ck else None
+        if data is not None:
+            nonce = int(data["nonce"])
+        else:
+            nonce = coin.grind(opts.grinding_bits)
+            if ck:
+                ck.save("pow", nonce=np.asarray(nonce, dtype=np.uint64))
         coin.reseed(hasher.host_digest([nonce]))
+        tm.mark("grinding")
         positions = coin.draw_indices(opts.num_queries, bn)
 
         lde_host = F.to_int(np.asarray(jnp.take(lde, jnp.asarray(positions), axis=-1)))
@@ -428,6 +521,7 @@ class Prover:
                 fri_openings=fri_open,
             ))
 
+        tm.mark("query openings")
         return Proof(
             trace_width=w, trace_length=n, options=opts,
             pub_inputs=air.pub_inputs_elements(),
