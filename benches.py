@@ -39,7 +39,7 @@ def main():
     ap.add_argument("--full", action="store_true",
                     help="reference-size workloads (chain 1024, 128 units, depth 15)")
     ap.add_argument("--hash-fn", default="rescue",
-                    choices=["rescue", "sha256", "blake3"],
+                    choices=["rescue", "sha256", "blake3", "sha3"],
                     help="commitment hash (reference benches use blake3)")
     args = ap.parse_args()
 

@@ -124,7 +124,9 @@ class RandomCoin:
                 std[0], std[1] = n & 0xFFFF, n >> 16
                 return np.asarray(hits(jnp.asarray(std)))
         else:  # byte hashers: block = state words ++ nonce*8 (= host_merge)
-            words = B3.blake3_words if name == "blake3" else S.sha256_words
+            from ..ops import sha3 as S3
+            words = {"blake3": B3.blake3_words, "sha256": S.sha256_words,
+                     "sha3": S3.sha3_words}[name]
             state_w = jnp.asarray(np.array(self.state, dtype=np.uint32))  # [8]
 
             @jax.jit

@@ -20,7 +20,7 @@ import hashlib
 import numpy as np
 import jax.numpy as jnp
 
-from ..ops import field as F, rescue as R, sha256 as S, blake3 as B3
+from ..ops import field as F, rescue as R, sha256 as S, blake3 as B3, sha3 as S3
 from ..utils import rescue_ref as RR
 
 
@@ -122,8 +122,37 @@ class Blake3Hasher:
         return tuple(int(x) for x in np.asarray(device_digest_col))
 
 
+class Sha3Hasher:
+    """Byte-oriented hasher matching the reference's alternative commitment
+    hash (HashFunction::Sha3_256, src/lib.rs:82). Digests are 8 uint32
+    little-endian words; element serialization is 8-byte LE standard form."""
+
+    name = "sha3"
+    digest_len = 8  # uint32 words
+
+    def hash_columns(self, cols: jnp.ndarray) -> jnp.ndarray:
+        """cols: [4, k, B] Montgomery limbs -> [8, B] digests."""
+        std = F.from_mont(cols)
+        return S3.sha3_words(B3.felems_to_words_le(std))
+
+    def merge_pairs(self, level: jnp.ndarray) -> jnp.ndarray:
+        both = jnp.concatenate([level[:, 0::2], level[:, 1::2]], axis=0)  # [16, m]
+        return S3.sha3_words(both)
+
+    def host_digest(self, elements) -> tuple:
+        byts = b"".join((int(e) % F.P).to_bytes(8, "little") for e in elements)
+        return S3.digest_words(byts)
+
+    def host_merge(self, d0, d1) -> tuple:
+        byts = b"".join(int(w).to_bytes(4, "little") for w in tuple(d0) + tuple(d1))
+        return S3.digest_words(byts)
+
+    def to_ints(self, device_digest_col) -> tuple:
+        return tuple(int(x) for x in np.asarray(device_digest_col))
+
+
 HASHERS = {"rescue": RescueHasher, "sha256": Sha256Hasher,
-           "blake3": Blake3Hasher}
+           "blake3": Blake3Hasher, "sha3": Sha3Hasher}
 
 
 def get_hasher(name: str):

@@ -11,7 +11,7 @@ class ProofOptions:
     num_queries: int = 42
     blowup: int = 8
     grinding_bits: int = 0
-    hash_fn: str = "rescue"        # "rescue" (algebraic, default), "sha256", "blake3"
+    hash_fn: str = "rescue"  # "rescue" (algebraic, default), "sha256", "blake3", "sha3"
     extension_degree: int = 1      # 1 = none, 2 = quadratic, 3 = cubic
     fri_folding: int = 4
     fri_max_remainder: int = 256
@@ -26,4 +26,5 @@ class ProofOptions:
         return [trace_width, trace_length, self.num_queries, self.blowup,
                 self.grinding_bits, self.extension_degree, self.fri_folding,
                 self.fri_max_remainder,
-                {"rescue": 0, "sha256": 1, "blake3": 2}[self.hash_fn]]
+                {"rescue": 0, "sha256": 1, "blake3": 2,
+                 "sha3": 3}[self.hash_fn]]

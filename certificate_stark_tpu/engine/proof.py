@@ -69,7 +69,8 @@ class Proof:
         w_u32(self.trace_length)
         opts = self.options
         for v in (opts.num_queries, opts.blowup, opts.grinding_bits,
-                  {"rescue": 0, "sha256": 1, "blake3": 2}[opts.hash_fn],
+                  {"rescue": 0, "sha256": 1, "blake3": 2,
+                   "sha3": 3}[opts.hash_fn],
                   opts.extension_degree, opts.fri_folding,
                   opts.fri_max_remainder):
             w_u32(v)
@@ -146,10 +147,10 @@ class Proof:
         tw, tl = r_u32(), r_u32()
         q, b, g, h, e, f, rem = (r_u32() for _ in range(7))
         opts = ProofOptions(num_queries=q, blowup=b, grinding_bits=g,
-                            hash_fn=["rescue", "sha256", "blake3"][h],
+                            hash_fn=["rescue", "sha256", "blake3", "sha3"][h],
                             extension_degree=e, fri_folding=f,
                             fri_max_remainder=rem)
-        dl = {"rescue": 7, "sha256": 8, "blake3": 8}[opts.hash_fn]
+        dl = {"rescue": 7, "sha256": 8, "blake3": 8, "sha3": 8}[opts.hash_fn]
         p = cls(trace_width=tw, trace_length=tl, options=opts,
                 pub_inputs=r_felts())
         p.trace_root = r_digest(dl)

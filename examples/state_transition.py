@@ -23,7 +23,7 @@ def main():
     ap.add_argument("-b", "--blowup", type=int, default=8)
     ap.add_argument("-g", "--grinding", type=int, default=0)
     ap.add_argument("--hash-fn", default="rescue",
-                    choices=["rescue", "sha256", "blake3"])
+                    choices=["rescue", "sha256", "blake3", "sha3"])
     ap.add_argument("-e", "--extension", type=int, default=1, choices=[1, 2, 3])
     ap.add_argument("-f", "--fri-folding", type=int, default=4, choices=[2, 4])
     ap.add_argument("--depth", type=int, default=15)
