@@ -24,12 +24,19 @@ sys.path.insert(0, "/root/repo")
 
 BASELINE_EST_S = 1.0  # provisional; see BASELINE.md
 CHAIN = int(os.environ.get("BENCH_CHAIN", "1024"))
-HASH = os.environ.get("BENCH_HASH", "rescue")  # reference benches use blake3
+# blake3 = the reference's bench hash (benches/rescue.rs options); also the
+# fastest commit path measured here (CPU fallback: 6.8s vs 284s with the
+# algebraic rescue hasher — the commit phase dominates off-TPU)
+HASH = os.environ.get("BENCH_HASH", "blake3")
 
 
 def _ensure_backend():
     """Fall back to CPU if the TPU backend is unreachable (tunnel flakiness)."""
     import jax
+    if os.environ.get("BENCH_FORCE_CPU"):
+        jax.config.update("jax_platforms", "cpu")
+        jax.devices()
+        return
     try:
         jax.devices()
     except Exception as e:  # noqa: BLE001
@@ -37,6 +44,16 @@ def _ensure_backend():
               file=sys.stderr)
         jax.config.update("jax_platforms", "cpu")
         jax.devices()
+
+
+def _cpu_retry():
+    """Re-exec on CPU in a fresh process (a failed TPU compile/run leaves the
+    in-process backend unusable; the JSON line must still be produced)."""
+    import subprocess
+    env = dict(os.environ, BENCH_FORCE_CPU="1", JAX_PLATFORMS="cpu")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    sys.exit(subprocess.run([sys.executable, os.path.abspath(__file__)],
+                            env=env).returncode)
 
 
 def main():
@@ -69,4 +86,12 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_FORCE_CPU"):
+        main()
+    else:
+        try:
+            main()
+        except Exception as e:  # noqa: BLE001
+            print(f"# device bench failed ({type(e).__name__}: {e}); "
+                  "retrying on CPU in a fresh process", file=sys.stderr)
+            _cpu_retry()

@@ -6,8 +6,10 @@ NTT butterflies) into VMEM-resident fused kernels, and (b) control tiling for
 the 2^23-point LDE domain. Kernels fall back to interpret mode off-TPU, so the
 suite validates them on CPU.
 
-Round-1 scope: the fused Montgomery multiply over tiled [4, N] arrays; the
-Rescue round / NTT-stage kernels follow the same pattern (next round).
+Round-1 scope: the fused Montgomery multiply over tiled [4, N] arrays and the
+full 7-round Rescue permutation (state resident in VMEM across all rounds —
+the XLA path round-trips the [4, 14, B] state through HBM between fused
+regions). NTT-stage kernels follow the same pattern (next round).
 """
 from __future__ import annotations
 
@@ -22,18 +24,20 @@ from . import field as F
 BLK = 1024
 
 
-def _mul_kernel(a_ref, b_ref, o_ref):
-    # Montgomery REDC with the modulus limbs as scalar literals (pallas
-    # kernels cannot capture constant arrays)
-    import numpy as np
+import numpy as np
 
-    a = a_ref[...]
-    b = b_ref[...]
-    np_l = [np.uint32(int(x)) for x in F.NPRIME_LIMBS]
-    p_l = [np.uint32(int(x)) for x in F.P_LIMBS]
+# kernel-local field helpers: Montgomery REDC with the modulus limbs as
+# scalar literals — pallas kernels cannot capture constant ARRAYS, and
+# F.mul/pow_const materialize NPRIME/P/ONE as np arrays. F.add/_cond_sub_p
+# use only scalar literals and are safe to call directly.
+_NP_L = [np.uint32(int(x)) for x in F.NPRIME_LIMBS]
+_P_L = [np.uint32(int(x)) for x in F.P_LIMBS]
+
+
+def _k_mul(a, b):
     t = F._mul_wide_t(a, b, jnp)
-    m, _ = F._mul_wide([t[i] for i in range(4)], np_l, 4)
-    mp, _ = F._mul_wide(m, p_l, 8)
+    m, _ = F._mul_wide([t[i] for i in range(4)], _NP_L, 4)
+    mp, _ = F._mul_wide(m, _P_L, 8)
     carry = np.uint32(0)
     out = []
     for k in range(8):
@@ -41,7 +45,95 @@ def _mul_kernel(a_ref, b_ref, o_ref):
         carry = s >> 16
         if k >= 4:
             out.append(s & F.MASK16)
-    o_ref[...] = jnp.stack(F._cond_sub_p(out), axis=0)
+    return jnp.stack(F._cond_sub_p(out), axis=0)
+
+
+def _k_pow(a, e: int):
+    """Straight-line square-and-multiply (e > 0 static)."""
+    r = a
+    for bit in bin(e)[3:]:
+        r = _k_mul(r, r)
+        if bit == "1":
+            r = _k_mul(r, a)
+    return r
+
+
+def _k_sumred(x):
+    """Field-sum over axis -2 of [4, ..., n, blk] via tree halving."""
+    while x.shape[-2] > 1:
+        n = x.shape[-2]
+        if n % 2:
+            x = jnp.concatenate(
+                [x, jnp.zeros(x.shape[:-2] + (1,) + x.shape[-1:], x.dtype)],
+                axis=-2)
+        x = F.add(x[..., 0::2, :], x[..., 1::2, :])
+    return x[..., 0, :]
+
+
+def _mul_kernel(a_ref, b_ref, o_ref):
+    o_ref[...] = _k_mul(a_ref[...], b_ref[...])
+
+
+RESCUE_BLK = 256
+
+
+def _rescue_perm_kernel(state_ref, mds_ref, ark_ref, o_ref):
+    """Full 7-round Rescue permutation on a [4, 14, blk] state block.
+
+    MDS/ARK Montgomery tables arrive as kernel inputs (constant arrays can't
+    be captured by pallas kernels). Rounds run as a fori_loop; the inverse
+    s-box is the straight-line 62-bit square-and-multiply chain (compiled once
+    inside the round body). Mirrors ops/rescue.apply_round exactly.
+    """
+    from ..params import data as D
+
+    st0 = state_ref[...]                       # [4, 14, blk]
+    mds = mds_ref[...]                         # [4, 14, 14]
+    ark = ark_ref[...]                         # [4, 8, 28]
+    blk = st0.shape[-1]
+
+    def mds_apply(st):
+        m = mds[:, :, :, None]                 # [4, 14, 14, 1]
+        s = st[:, None, :, :]                  # [4, 1, 14, blk]
+        prod = _k_mul(jnp.broadcast_to(m, (4, 14, 14, blk)),
+                      jnp.broadcast_to(s, (4, 14, 14, blk)))
+        return _k_sumred(prod)
+
+    def body(r, st):
+        st = _k_mul(st, _k_mul(st, st))        # s-box x^3
+        st = mds_apply(st)
+        st = F.add(st, jnp.broadcast_to(
+            jax.lax.dynamic_slice(ark, (0, r, 0), (4, 1, 14))
+            .reshape(4, 14, 1), st.shape))
+        st = _k_pow(st, D.INV_ALPHA)           # inverse s-box
+        st = mds_apply(st)
+        st = F.add(st, jnp.broadcast_to(
+            jax.lax.dynamic_slice(ark, (0, r, 14), (4, 1, 14))
+            .reshape(4, 14, 1), st.shape))
+        return st
+
+    o_ref[...] = jax.lax.fori_loop(0, 7, body, st0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pallas_rescue_permutation(state: jnp.ndarray, interpret: bool = False):
+    """Rescue permutation of [4, 14, N] states, tiled over the lane axis."""
+    from . import rescue as R
+
+    n = state.shape[-1]
+    assert state.shape[:2] == (4, 14)
+    blk = min(n, RESCUE_BLK)
+    assert n % blk == 0
+    tbl_spec = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape))
+    return pl.pallas_call(
+        _rescue_perm_kernel,
+        out_shape=jax.ShapeDtypeStruct(state.shape, state.dtype),
+        grid=(n // blk,),
+        in_specs=[pl.BlockSpec((4, 14, blk), lambda i: (0, 0, i)),
+                  tbl_spec((4, 14, 14)), tbl_spec((4, 8, 28))],
+        out_specs=pl.BlockSpec((4, 14, blk), lambda i: (0, 0, i)),
+        interpret=interpret,
+    )(state, jnp.asarray(R.MDS), jnp.asarray(R.ARK))
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

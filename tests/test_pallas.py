@@ -14,3 +14,13 @@ def test_pallas_mul_matches():
     got = np.asarray(PK.pallas_mul(la, lb, interpret=True))
     exp = np.asarray(F.mul(la, lb))
     assert np.array_equal(got, exp)
+
+
+def test_pallas_rescue_permutation_matches():
+    from certificate_stark_tpu.ops import rescue as R
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, F.P, size=(14, 8), dtype=np.uint64)
+    st = jnp.asarray(F.from_int(vals))
+    got = np.asarray(PK.pallas_rescue_permutation(st, interpret=True))
+    exp = np.asarray(R.permutation(st))
+    assert np.array_equal(got, exp)
