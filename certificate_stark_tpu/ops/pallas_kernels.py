@@ -136,6 +136,61 @@ def pallas_rescue_permutation(state: jnp.ndarray, interpret: bool = False):
     )(state, jnp.asarray(R.MDS), jnp.asarray(R.ARK))
 
 
+def _local_ntt_kernel(x_ref, tw_ref, o_ref):
+    """All log2(m) radix-2 stages of a size-m NTT, in-VMEM per block.
+
+    x: [4, blkB, m] bit-reversal-permuted inputs (the wrapper pre-permutes —
+    dynamic lane gathers are a poor fit inside TPU kernels, static strided
+    slices of the twiddle table are not). tw: master table [4, m/2]. This is
+    the local-transform building block of the four-step large NTT: the XLA
+    path (ops/ntt.py) round-trips the array through HBM once per stage; here
+    all stages run on the VMEM-resident block.
+    """
+    x = x_ref[...]
+    master = tw_ref[...]
+    m = x.shape[-1]
+    blk_b = x.shape[1]
+    for s in range(1, m.bit_length()):
+        ms = 1 << s
+        half = ms >> 1
+        xr = x.reshape(4, blk_b, m // ms, ms)
+        even, odd = xr[..., :half], xr[..., half:]
+        tw = master[:, :: m // ms].reshape(4, 1, 1, half)
+        t = _k_mul(odd, jnp.broadcast_to(tw, odd.shape))
+        x = jnp.concatenate([F.add(even, t), F.sub(even, t)],
+                            axis=-1).reshape(4, blk_b, m)
+    o_ref[...] = x
+
+
+NTT_BLK_B = 8
+
+
+@functools.partial(jax.jit, static_argnames=("inverse", "interpret"))
+def pallas_local_ntt(a: jnp.ndarray, inverse: bool = False,
+                     interpret: bool = False):
+    """NTT along the last axis of [4, B, m] with all stages fused in one
+    pallas kernel (grid over the batch axis). Semantics match ops/ntt.ntt."""
+    from . import ntt as NTT
+
+    four, bdim, m = a.shape
+    assert four == 4 and m & (m - 1) == 0 and m > 1
+    x = jnp.take(a, NTT.bitrev_indices(m), axis=-1)
+    blk_b = min(bdim, NTT_BLK_B)
+    assert bdim % blk_b == 0
+    out = pl.pallas_call(
+        _local_ntt_kernel,
+        out_shape=jax.ShapeDtypeStruct(a.shape, a.dtype),
+        grid=(bdim // blk_b,),
+        in_specs=[pl.BlockSpec((4, blk_b, m), lambda i: (0, i, 0)),
+                  pl.BlockSpec((4, m // 2), lambda i: (0, 0))],
+        out_specs=pl.BlockSpec((4, blk_b, m), lambda i: (0, i, 0)),
+        interpret=interpret,
+    )(x, jnp.asarray(NTT.twiddles(m, inverse)))
+    if inverse:
+        out = F.mul_const(out, F.const(pow(m, F.P - 2, F.P)))
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def pallas_mul(a: jnp.ndarray, b: jnp.ndarray, interpret: bool = False):
     """Montgomery multiply of [4, N] limb arrays as a tiled Pallas kernel."""
