@@ -101,6 +101,10 @@ class Blake3Hasher:
     name = "blake3"
     digest_len = 8  # uint32 words
 
+    def __init__(self):
+        from ..utils import native as NV
+        self._nv = NV if NV.available() else None
+
     def hash_columns(self, cols: jnp.ndarray) -> jnp.ndarray:
         """cols: [4, k, B] Montgomery limbs -> [8, B] digests."""
         std = F.from_mont(cols)
@@ -110,13 +114,19 @@ class Blake3Hasher:
         both = jnp.concatenate([level[:, 0::2], level[:, 1::2]], axis=0)  # [16, m]
         return B3.blake3_words(both)
 
-    def host_digest(self, elements) -> tuple:
-        byts = b"".join((int(e) % F.P).to_bytes(8, "little") for e in elements)
+    def _host_bytes(self, byts: bytes) -> tuple:
+        if self._nv is not None:
+            return tuple(int(w) for w in
+                         np.frombuffer(self._nv.blake3(byts), dtype="<u4"))
         return B3.digest_words(byts)
 
+    def host_digest(self, elements) -> tuple:
+        return self._host_bytes(b"".join(
+            (int(e) % F.P).to_bytes(8, "little") for e in elements))
+
     def host_merge(self, d0, d1) -> tuple:
-        byts = b"".join(int(w).to_bytes(4, "little") for w in tuple(d0) + tuple(d1))
-        return B3.digest_words(byts)
+        return self._host_bytes(b"".join(
+            int(w).to_bytes(4, "little") for w in tuple(d0) + tuple(d1)))
 
     def to_ints(self, device_digest_col) -> tuple:
         return tuple(int(x) for x in np.asarray(device_digest_col))

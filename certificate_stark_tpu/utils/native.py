@@ -34,6 +34,8 @@ def lib():
                                          ctypes.c_size_t]
         L.rescue_verify_path.restype = ctypes.c_int
         L.f63_inv_vec.argtypes = [u64p, u64p, ctypes.c_size_t]
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        L.blake3_hash.argtypes = [u8p, ctypes.c_size_t, u8p]
         _LIB = L
     return _LIB
 
@@ -66,6 +68,16 @@ def merge(d0, d1) -> tuple:
     out = np.empty(7, dtype=np.uint64)
     lib().rescue_merge(_p(a), _p(b), _p(out))
     return tuple(int(v) for v in out)
+
+
+def blake3(data: bytes) -> bytes:
+    """Full BLAKE3-256 (chunk tree included) of arbitrary bytes."""
+    buf = (ctypes.c_uint8 * len(data)).from_buffer_copy(data) if data \
+        else (ctypes.c_uint8 * 1)()
+    out = (ctypes.c_uint8 * 32)()
+    lib().blake3_hash(ctypes.cast(buf, ctypes.POINTER(ctypes.c_uint8)),
+                      len(data), out)
+    return bytes(out)
 
 
 def verify_path(root, index, leaf, path) -> bool:

@@ -124,3 +124,97 @@ int rescue_verify_path(const u64 *root, u64 index, const u64 *leaf,
         if (cur[j] != root[j]) return 0;
     return 1;
 }
+
+/* ---------------------------------------------------------------------------
+ * BLAKE3-256 host path (full spec incl. chunk tree; default key, 32B output).
+ * Accelerates the Fiat-Shamir coin and verifier Merkle-path checks in blake3
+ * commitment mode (the reference's default hash, HashFunction::Blake3_256) —
+ * the Python oracle in ops/blake3.py stays the semantic reference.
+ * ------------------------------------------------------------------------- */
+#include <string.h>
+
+typedef uint32_t u32;
+
+static const u32 B3_IV[8] = {
+    0x6a09e667u, 0xbb67ae85u, 0x3c6ef372u, 0xa54ff53au,
+    0x510e527fu, 0x9b05688cu, 0x1f83d9abu, 0x5be0cd19u};
+static const unsigned char B3_PERM[16] = {
+    2, 6, 3, 10, 7, 0, 4, 13, 1, 11, 12, 5, 9, 14, 15, 8};
+
+enum { B3_CHUNK_START = 1, B3_CHUNK_END = 2, B3_PARENT = 4, B3_ROOT = 8 };
+
+static inline u32 b3_rotr(u32 x, int n) { return (x >> n) | (x << (32 - n)); }
+
+static inline void b3_g(u32 *v, int a, int b, int c, int d, u32 mx, u32 my) {
+    v[a] += v[b] + mx; v[d] = b3_rotr(v[d] ^ v[a], 16);
+    v[c] += v[d];      v[b] = b3_rotr(v[b] ^ v[c], 12);
+    v[a] += v[b] + my; v[d] = b3_rotr(v[d] ^ v[a], 8);
+    v[c] += v[d];      v[b] = b3_rotr(v[b] ^ v[c], 7);
+}
+
+static void b3_compress(u32 cv[8], const u32 block[16], u64 counter,
+                        u32 block_len, u32 flags) {
+    u32 v[16], m[16], t[16];
+    for (int i = 0; i < 8; i++) v[i] = cv[i];
+    for (int i = 0; i < 4; i++) v[8 + i] = B3_IV[i];
+    v[12] = (u32)counter; v[13] = (u32)(counter >> 32);
+    v[14] = block_len; v[15] = flags;
+    memcpy(m, block, sizeof m);
+    for (int r = 0; r < 7; r++) {
+        b3_g(v, 0, 4, 8, 12, m[0], m[1]);
+        b3_g(v, 1, 5, 9, 13, m[2], m[3]);
+        b3_g(v, 2, 6, 10, 14, m[4], m[5]);
+        b3_g(v, 3, 7, 11, 15, m[6], m[7]);
+        b3_g(v, 0, 5, 10, 15, m[8], m[9]);
+        b3_g(v, 1, 6, 11, 12, m[10], m[11]);
+        b3_g(v, 2, 7, 8, 13, m[12], m[13]);
+        b3_g(v, 3, 4, 9, 14, m[14], m[15]);
+        if (r < 6) {
+            for (int i = 0; i < 16; i++) t[i] = m[B3_PERM[i]];
+            memcpy(m, t, sizeof m);
+        }
+    }
+    for (int i = 0; i < 8; i++) cv[i] = v[i] ^ v[i + 8];
+}
+
+static void b3_chunk_cv(const unsigned char *chunk, size_t len, u64 counter,
+                        int is_root, u32 out[8]) {
+    u32 cv[8];
+    memcpy(cv, B3_IV, sizeof cv);
+    size_t nblocks = len ? (len + 63) / 64 : 1;
+    for (size_t i = 0; i < nblocks; i++) {
+        unsigned char buf[64] = {0};
+        size_t blen = (i == nblocks - 1) ? len - 64 * i : 64;
+        memcpy(buf, chunk + 64 * i, blen);
+        u32 m[16];
+        memcpy(m, buf, sizeof m); /* little-endian host */
+        u32 flags = (i == 0 ? B3_CHUNK_START : 0)
+                  | (i == nblocks - 1 ? B3_CHUNK_END : 0)
+                  | (is_root && i == nblocks - 1 ? B3_ROOT : 0);
+        b3_compress(cv, m, counter, (u32)blen, flags);
+    }
+    memcpy(out, cv, 8 * sizeof(u32));
+}
+
+static void b3_tree(const unsigned char *data, size_t len, u64 counter,
+                    int is_root, u32 out[8]) {
+    if (len <= 1024) { b3_chunk_cv(data, len, counter, is_root, out); return; }
+    size_t chunks = (len + 1023) / 1024;
+    size_t left = 1;
+    while (left * 2 < chunks) left *= 2; /* largest power of two < chunks */
+    u32 l[8], r[8], m[16], cv[8];
+    b3_tree(data, left * 1024, counter, 0, l);
+    b3_tree(data + left * 1024, len - left * 1024, counter + left, 0, r);
+    memcpy(m, l, 8 * sizeof(u32));
+    memcpy(m + 8, r, 8 * sizeof(u32));
+    memcpy(cv, B3_IV, sizeof cv);
+    b3_compress(cv, m, 0, 64, B3_PARENT | (is_root ? B3_ROOT : 0));
+    memcpy(out, cv, 8 * sizeof(u32));
+}
+
+void blake3_hash(const unsigned char *data, size_t len,
+                 unsigned char out32[32]) {
+    u32 cv[8];
+    b3_tree(data, len, 0, 1, cv);
+    memcpy(out32, cv, 32); /* little-endian host */
+}

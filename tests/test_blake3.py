@@ -55,3 +55,14 @@ def test_e2e_blake3_proof():
     assert VR.verify(RC.RescueChainAir, proof, ex.pub_inputs())
     rt = type(proof).from_bytes(proof.to_bytes())
     assert VR.verify(RC.RescueChainAir, rt, ex.pub_inputs())
+
+
+def test_native_blake3_matches_python_oracle():
+    from certificate_stark_tpu.utils import native as NV
+    import pytest
+    if not NV.available():
+        pytest.skip("native lib not built")
+    rng = np.random.default_rng(9)
+    for n in (0, 1, 63, 64, 65, 104, 1023, 1024, 1025, 2048, 3000, 5000, 9000):
+        data = rng.integers(0, 256, size=n, dtype=np.uint8).tobytes()
+        assert NV.blake3(data) == B3.blake3_bytes(data), n
