@@ -13,8 +13,10 @@ OPTS = ProofOptions(num_queries=8, blowup=4, grinding_bits=0)
 
 
 def test_checkpoint_resume_identical_and_skipping(tmp_path):
-    ex = RC.RescueChainExample(2, OPTS)
-    air = RC.RescueChainAir(16, ex.pub_inputs(), OPTS)
+    # chain 16 -> LDE domain 512 > max remainder 256: exercises the
+    # per-FRI-layer checkpoint branch as well
+    ex = RC.RescueChainExample(16, OPTS)
+    air = RC.RescueChainAir(128, ex.pub_inputs(), OPTS)
     prover = PR.Prover(air)
 
     ref = prover.prove(ex.trace).to_bytes()
@@ -22,13 +24,13 @@ def test_checkpoint_resume_identical_and_skipping(tmp_path):
     ck = prover.checkpointer(str(tmp_path))
     assert prover.prove(ex.trace, checkpoint=ck).to_bytes() == ref
     saved = {p.name for p in tmp_path.iterdir()}
-    assert {"trace.npz", "composition.npz", "deep.npz",
+    assert {"trace.npz", "composition.npz", "deep.npz", "fri0.npz",
             "MANIFEST.json"} <= saved
 
     # resume in a fresh prover, feeding a GARBAGE trace of the right shape:
     # every compute phase must come from the checkpoints, so the proof is
     # still byte-identical (and still verifies)
-    prover2 = PR.Prover(RC.RescueChainAir(16, ex.pub_inputs(), OPTS))
+    prover2 = PR.Prover(RC.RescueChainAir(128, ex.pub_inputs(), OPTS))
     ck2 = prover2.checkpointer(str(tmp_path))
     garbage = jnp.zeros_like(ex.trace)
     proof2 = prover2.prove(garbage, checkpoint=ck2)
