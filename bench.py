@@ -31,17 +31,36 @@ HASH = os.environ.get("BENCH_HASH", "blake3")
 
 
 def _ensure_backend():
-    """Fall back to CPU if the TPU backend is unreachable (tunnel flakiness)."""
+    """Fall back to CPU if the TPU backend is unreachable (tunnel flakiness).
+
+    The broken-tunnel failure mode here is a HANG inside jax.devices() (not an
+    exception), so the probe runs in a daemon thread with a deadline; a hung
+    init can't be recovered in-process, so that case re-execs on CPU.
+    """
+    import threading
+
     import jax
     if os.environ.get("BENCH_FORCE_CPU"):
         jax.config.update("jax_platforms", "cpu")
         jax.devices()
         return
-    try:
-        jax.devices()
-    except Exception as e:  # noqa: BLE001
-        print(f"# TPU backend unavailable ({type(e).__name__}); CPU fallback",
-              file=sys.stderr)
+    result = []
+
+    def probe():
+        try:
+            result.append(bool(jax.devices()))
+        except Exception as e:  # noqa: BLE001
+            print(f"# TPU backend unavailable ({type(e).__name__})",
+                  file=sys.stderr)
+            result.append(False)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(int(os.environ.get("BENCH_PROBE_TIMEOUT_S", "300")))
+    if t.is_alive():
+        print("# device init hung; re-exec on CPU", file=sys.stderr)
+        _cpu_retry()
+    if not result[0]:
         jax.config.update("jax_platforms", "cpu")
         jax.devices()
 
