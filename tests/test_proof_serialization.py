@@ -13,3 +13,17 @@ def test_proof_bytes_roundtrip_and_verify():
     back = Proof.from_bytes(blob)
     assert back.to_bytes() == blob
     assert ex.verify(back)
+
+
+def test_get_example_dispatch():
+    """Reference parity: lib.rs-style get_example(name) (smoke, no proving)."""
+    import pytest
+    from certificate_stark_tpu.models import get_example
+    from certificate_stark_tpu.engine.options import ProofOptions
+    opts = ProofOptions(num_queries=4, blowup=4)
+    ex = get_example("rescue-chain", 2, opts)
+    assert ex.trace.shape[1:] == (14, 16)
+    ex = get_example("range", 123456789, opts)
+    assert ex.trace.shape[1] == 2
+    with pytest.raises(ValueError):
+        get_example("nope")
