@@ -210,22 +210,23 @@ class Prover:
                 evals = jnp.stack(evals, axis=1)       # [4, C, bn]
             q = F.mul(evals, zt_inv[:, None])
             qd = q[:, :, None, :]                      # [4, C, 1, bn]
-            alpha_side = NTT.sum_reduce(
-                F.mul(qd, t_alpha[:, :, :, None]), axis=1)      # [4, d, bn]
-            beta_q = F.mul(qd, t_beta[:, :, :, None])
+            # fused dots over the constraint axis: one deferred REDC per
+            # output point instead of one per constraint (F.mul_sum)
+            alpha_side = F.mul_sum(qd, t_alpha[:, :, :, None], axis=1)  # [4,d,bn]
             comp = alpha_side
             for g in adj_groups:
-                part = NTT.sum_reduce(beta_q * adj_mask[g], axis=1)
+                beta_g = t_beta[:, :, :, None] * adj_mask[g]
+                part = F.mul_sum(qd, beta_g, axis=1)
                 comp = F.add(comp, F.mul(part, xpow[g][:, None]))
 
             # boundary terms: per divisor group, stacked over its assertions
             for gi, grp in enumerate(b_struct):
                 rows = lde[:, grp["columns"]]          # [4, g, bn]
                 num = F.sub(rows, b_evals[gi])[:, :, None, :]
-                a_side = NTT.sum_reduce(
-                    F.mul(num, b_alpha[:, grp["coeff_idx"], :, None]), axis=1)
-                b_side = NTT.sum_reduce(
-                    F.mul(num, b_beta[:, grp["coeff_idx"], :, None]), axis=1)
+                a_side = F.mul_sum(num, b_alpha[:, grp["coeff_idx"], :, None],
+                                   axis=1)
+                b_side = F.mul_sum(num, b_beta[:, grp["coeff_idx"], :, None],
+                                   axis=1)
                 term = F.add(a_side, F.mul(b_side, xpow[grp["adj"]][:, None]))
                 comp = F.add(comp, F.mul(term, grp["inv_z"][:, None]))
 
@@ -249,6 +250,9 @@ class Prover:
             ztbl = XF.ext_powers_dyn(z, n, d)          # [4, d, n]
             zgtbl = XF.ext_powers_dyn(zg, n, d)
             zktbl = XF.ext_powers_dyn(zk, n, d)
+            # NOTE: these reduce over the INNERMOST (contiguous) axis — the
+            # mul+tree-reduce form is ~75x faster there than a deferred-REDC
+            # dot (mul_sum), which only wins on middle-axis reductions.
             ood_z = NTT.sum_reduce(
                 F.mul(trace_coeffs[:, None], ztbl[:, :, None, :]), axis=-1)
             ood_zg = NTT.sum_reduce(
@@ -288,15 +292,13 @@ class Prover:
 
             def dot_rows(rows, oods, coeffs):
                 numer = _lift_sub(rows, oods)          # [4, d, R, bn]
-                return NTT.sum_reduce(
-                    XF.ext_mul(numer, coeffs[:, :, :, None], d), axis=2)
+                return XF.ext_mul_sum(numer, coeffs[:, :, :, None], d, axis=2)
 
             deep = XF.ext_mul(dot_rows(lde, ood_z, g_z), inv_xz, d)
             deep = F.add(deep, XF.ext_mul(dot_rows(lde, ood_zg, g_zg), inv_xzg, d))
             # composition columns are ext-valued: numer = H - ood directly
             h_num = F.sub(h_lde, ood_h[:, :, :, None])
-            h_dot = NTT.sum_reduce(
-                XF.ext_mul(h_num, g_h[:, :, :, None], d), axis=2)
+            h_dot = XF.ext_mul_sum(h_num, g_h[:, :, :, None], d, axis=2)
             deep = F.add(deep, XF.ext_mul(h_dot, inv_xzk, d))
             return deep                                 # [4, d, bn]
 

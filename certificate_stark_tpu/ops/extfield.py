@@ -66,6 +66,50 @@ def ext_mul(a, b, degree: int):
     return e2_mul(a, b) if degree == 2 else e3_mul(a, b)
 
 
+def ext_mul_sum(a, b, degree: int, axis: int, chunk: int = 1024):
+    """Fused extension dot product: sum over `axis` of ext_mul(a, b) with one
+    deferred Montgomery reduction per Karatsuba component (F.mul_sum) instead
+    of one per term. a, b: [4, d, *S] broadcast-compatible; the extension axis
+    is 1 and must not be the reduction axis."""
+    assert axis not in (0, 1) and axis != -a.ndim and axis != 1 - a.ndim
+
+    def dot(x, y):
+        return F.dot_chunked(x, y, axis, chunk)
+
+    if degree == 1:
+        return dot(a, b)
+    if degree == 2:
+        a0, a1 = a[:, 0:1], a[:, 1:2]
+        b0, b1 = b[:, 0:1], b[:, 1:2]
+        u = dot(a0, b0)
+        v = dot(a1, b1)
+        w = dot(F.add(a0, a1), F.add(b0, b1))
+        nr = F.broadcast_const(X.QUAD_NONRESIDUE, u.ndim - 1)
+        c0 = F.add(u, F.mul(v, jnp.broadcast_to(nr, v.shape)))
+        c1 = F.sub(F.sub(w, u), v)
+        return _cat([c0, c1])
+    a0, a1, a2 = a[:, 0:1], a[:, 1:2], a[:, 2:3]
+    b0, b1, b2 = b[:, 0:1], b[:, 1:2], b[:, 2:3]
+    v0, v1, v2 = dot(a0, b0), dot(a1, b1), dot(a2, b2)
+    v01 = dot(F.add(a0, a1), F.add(b0, b1))
+    v12 = dot(F.add(a1, a2), F.add(b1, b2))
+    v02 = dot(F.add(a0, a2), F.add(b0, b2))
+    c1p = F.sub(F.sub(v01, v0), v1)
+    c3 = F.sub(F.sub(v12, v1), v2)
+    c2p = F.add(F.sub(F.sub(v02, v0), v2), v1)
+    c4 = v2
+    a1c = F.broadcast_const(X.CUBIC_A1, v0.ndim - 1)
+    a0c = F.broadcast_const(X.CUBIC_A0, v0.ndim - 1)
+
+    def smul(t, cst):
+        return F.mul(t, jnp.broadcast_to(cst, t.shape))
+
+    c0 = F.add(v0, smul(c3, a0c))
+    c1 = F.add(F.add(c1p, smul(c3, a1c)), smul(c4, a0c))
+    c2 = F.add(c2p, smul(c4, a1c))
+    return _cat([c0, c1, c2])
+
+
 def base_to_ext(a, degree: int):
     """Embed base elements [4, *S] -> [4, d, *S] (zero high coords)."""
     if degree == 1:

@@ -249,6 +249,128 @@ def square(a, xp=jnp):
     return mul(a, a, xp)
 
 
+# Multiples 2^s * p as 5-limb arrays, for the binary tail reduction of mul_sum.
+_P_MULTIPLES = {}
+
+
+def _p_multiple_limbs(s: int):
+    if s not in _P_MULTIPLES:
+        v = P << s
+        _P_MULTIPLES[s] = [np.uint32((v >> (16 * i)) & 0xFFFF) for i in range(5)]
+    return _P_MULTIPLES[s]
+
+
+def _geq_n(a, b):
+    """a >= b for equal-length limb lists."""
+    n = len(a)
+    gt = a[n - 1] > b[n - 1]
+    eq = a[n - 1] == b[n - 1]
+    for i in range(n - 2, -1, -1):
+        gt = gt | (eq & (a[i] > b[i]))
+        eq = eq & (a[i] == b[i])
+    return gt | eq
+
+
+def _sub_limbs_n(a, b):
+    """a - b assuming a >= b; equal-length 16-bit limb lists in uint32."""
+    out = []
+    borrow = np.uint32(0)
+    for i in range(len(a)):
+        d = a[i] - b[i] - borrow
+        borrow = (d >> 31) & np.uint32(1)
+        out.append(d & MASK16)
+    return out
+
+
+def mul_sum(a, b, axis: int, xp=jnp, j_bound: int | None = None):
+    """REDC(sum over `axis` of a*b): a fused dot product with ONE Montgomery
+    reduction for the whole sum instead of one per term.
+
+    a, b: broadcast-compatible limb arrays [4, *S] in Montgomery form.
+    axis: reduction axis of the FULL array (limb axis is 0, so data axes are
+    1..). The reduced result is again Montgomery form, shape = broadcast(S)
+    minus the reduced axis.
+
+    This is the workhorse behind the MDS layer, constraint-composition dots,
+    DEEP dots and polynomial evaluation — the reference pays a full reduction
+    per product (winterfell f63 `mul`); deferring it across the sum removes
+    ~J-1 of J REDC passes. Safe for reduction lengths J <= 4096 (uint32 column
+    accumulators); chunk longer sums (see dot_chunked)."""
+    assert axis != 0 and axis != -a.ndim if axis < 0 else True
+    ndata = max(a.ndim, b.ndim) - 1
+    ax = (axis - 1) if axis > 0 else (axis + ndata)  # data-axis index
+    J = max(np.broadcast_shapes(a.shape[1:], b.shape[1:])[ax], 1)
+    if j_bound is not None:
+        J = max(J, j_bound)
+    assert J <= 4096, "mul_sum reduction too long; chunk it"
+
+    # schoolbook partial products: one tensor multiply for all 16 limb pairs,
+    # column alignment via pads on the b-limb axis, then ONE fused reduction
+    # over (partial, J). This formulation compiles to a single fused loop
+    # (separate per-column reduces are ~10x slower under XLA).
+    prods = a[:, None] * b[None, :]               # [4, 4, *S]
+    lo = prods & MASK16
+    hi = prods >> 16
+    tail = ((0, 0),) * ndata
+    parts = []
+    for i in range(NLIMB):
+        # lo[i][j] has column weight i+j; hi[i][j] weight i+j+1
+        parts.append(xp.pad(lo[i], ((i, 5 - i),) + tail))
+        parts.append(xp.pad(hi[i], ((i + 1, 4 - i),) + tail))
+    stacked = xp.stack(parts)                     # [8, 9, *S]
+    cols = xp.sum(stacked, axis=(0, ax + 2), dtype=xp.uint32)  # [9, *S-J]
+    # carry-normalize to 9 16-bit limbs: t = sum(a*b) < J * p^2 < 2^138
+    t = []
+    carry = np.uint32(0)
+    for k in range(9):
+        s = cols[k] + carry
+        carry = s >> 16
+        t.append(s & MASK16)
+
+    # REDC: m = (t mod R) * N' mod R ; u = (t + m*p) / R
+    np_l = [np.uint32(int(x)) for x in NPRIME_LIMBS]
+    p_l = [np.uint32(int(x)) for x in P_LIMBS]
+    m, _ = _mul_wide(t[:4], np_l, 4)
+    mp, mp_carry = _mul_wide(m, p_l, 8)
+    u = []
+    carry = np.uint32(0)
+    for k in range(9):
+        s = t[k] + (mp[k] if k < 8 else mp_carry) + carry
+        carry = s >> 16
+        if k >= 4:
+            u.append(s & MASK16)
+    u[4] = u[4] + (carry << 16)  # u < p*(1 + J*p/R) fits 5 limbs (< 2^80)
+
+    # binary tail reduction: cond-subtract 2^s*p from s_max down to 0
+    u_max = P + (J * (P - 1) * (P - 1)) // R
+    s_max = max((u_max // P).bit_length() - 1, 0)
+    for s in range(s_max, -1, -1):
+        ps = _p_multiple_limbs(s)
+        ge = _geq_n(u, ps)
+        sub5 = _sub_limbs_n(u, ps)
+        u = [xp.where(ge, x, y) for x, y in zip(sub5, u)]
+    return xp.stack(u[:4], axis=0)
+
+
+def dot_chunked(a, b, axis: int, chunk: int = 1024, xp=jnp):
+    """mul_sum for arbitrarily long reductions: split `axis` into chunks of
+    `chunk`, fuse-reduce each, then field-add the partial sums."""
+    J = np.broadcast_shapes(a.shape, b.shape)[axis]
+    if J <= chunk:
+        return mul_sum(a, b, axis, xp)
+    ax = axis if axis >= 0 else a.ndim + axis
+    assert J % chunk == 0
+
+    def split(x):
+        if x.shape[ax] == 1:  # broadcast operand: keep it broadcast
+            return xp.expand_dims(x, ax)
+        return x.reshape(x.shape[:ax] + (J // chunk, chunk) + x.shape[ax + 1:])
+
+    partial = mul_sum(split(a), split(b), ax + 1, xp)  # reduced over chunk
+    from . import ntt as _NTT
+    return _NTT.sum_reduce(partial, axis=ax, xp=xp)
+
+
 def mul_const(a, c_mont, xp=jnp):
     """Multiply by a precomputed Montgomery-form constant of shape (4,)."""
     cc = c_mont.reshape((NLIMB,) + (1,) * (a.ndim - 1))

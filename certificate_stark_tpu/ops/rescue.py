@@ -52,10 +52,9 @@ def mds_apply(state, mds_table=None, xp=jnp):
     lead = state.ndim - 3  # extra axes between limbs and the (14, B) tail
     m = xp.asarray(mds_table).reshape((4,) + (1,) * lead + (14, 14, 1))
     s = state[..., None, :, :]  # [4, ..., 1, 14, B]
-    prod = F.mul(xp.broadcast_to(m, m.shape[:1 + lead] + (14, 14) + state.shape[-1:]),
-                 xp.broadcast_to(s, s.shape[:1 + lead] + (14, 14) + state.shape[-1:]),
-                 xp)
-    return NTT.sum_reduce(prod, axis=-2, xp=xp)
+    # fused dot: one deferred Montgomery reduction per output element instead
+    # of 14 (F.mul_sum) — the MDS layer dominates Rescue constraint evaluation
+    return F.mul_sum(m, s, axis=-2, xp=xp)
 
 
 def add_ark(state, round_idx, half, xp=jnp):
