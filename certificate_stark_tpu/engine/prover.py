@@ -286,9 +286,17 @@ class Prover:
             zk = z
             for _ in range(k.bit_length() - 1):
                 zk = XF.ext_mul(zk[:, :, None], zk[:, :, None], d)[:, :, 0]
-            inv_xz = XF.ext_inv_vec(_lift_sub_point(xs, z), d)
-            inv_xzg = XF.ext_inv_vec(_lift_sub_point(xs, zg), d)
-            inv_xzk = XF.ext_inv_vec(_lift_sub_point(xs, zk), d)
+            # Montgomery batch inversion across the three denominators: one
+            # inversion chain instead of three (each is ~90 field muls over
+            # the whole domain), unfolded with 8 ext muls.
+            xz = _lift_sub_point(xs, z)
+            xzg = _lift_sub_point(xs, zg)
+            xzk = _lift_sub_point(xs, zk)
+            pzzg = XF.ext_mul(xz, xzg, d)
+            inv_all = XF.ext_inv_vec(XF.ext_mul(pzzg, xzk, d), d)
+            inv_xz = XF.ext_mul(inv_all, XF.ext_mul(xzg, xzk, d), d)
+            inv_xzg = XF.ext_mul(inv_all, XF.ext_mul(xz, xzk, d), d)
+            inv_xzk = XF.ext_mul(inv_all, pzzg, d)
 
             def dot_rows(rows, oods, coeffs):
                 numer = _lift_sub(rows, oods)          # [4, d, R, bn]

@@ -91,6 +91,60 @@ def ntt(a: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
     return x
 
 
+def ntt_four_step(a: jnp.ndarray, inverse: bool = False,
+                  n1: int | None = None) -> jnp.ndarray:
+    """Bailey four-step NTT along the last axis: view length n as an n2 x n1
+    matrix, transform columns (length n2), twiddle, transform rows (length n1).
+
+    Exactly equal to ntt(); wins on locality: each sub-transform streams
+    contiguous cache/VMEM-resident rows with a large batch axis, which is also
+    the single-chip shape of the multi-chip six-step NTT (parallel/ntt.py) and
+    of the Pallas fused local-NTT kernel (ops/pallas_kernels.py).
+    """
+    n = a.shape[-1]
+    assert n & (n - 1) == 0
+    logn = n.bit_length() - 1
+    if n1 is None:
+        n1 = 1 << (logn // 2)
+    n2 = n // n1
+    lead = a.shape[1:-1]
+
+    # i = i1 + n1*i2  ->  m[.., i1, i2 dims] ; transform over i2 first
+    m = a.reshape((4,) + lead + (n2, n1))
+    m = jnp.swapaxes(m, -1, -2)                  # [4, .., n1, n2]
+    s = ntt(m, inverse)                          # columns: over i2
+    tw = _four_step_twiddles(n, n1, n2, inverse)  # [4, n1, n2]
+    tw = tw.reshape((4,) + (1,) * len(lead) + (n1, n2))
+    s = F.mul(s, jnp.broadcast_to(tw, s.shape))
+    s = jnp.swapaxes(s, -1, -2)                  # [4, .., n2, n1]
+    s = ntt(s, inverse)                          # rows: over i1
+    # s[k2, k1] is the evaluation at bucket k = k2 + n2*k1
+    s = jnp.swapaxes(s, -1, -2)
+    return s.reshape((4,) + lead + (n,))
+
+
+_four_step_cache: dict = {}
+
+
+def _four_step_twiddles(n: int, n1: int, n2: int, inverse: bool) -> np.ndarray:
+    """Twiddle matrix T[i1, k2] = w_n^{i1*k2} as Montgomery limbs [4, n1, n2]."""
+    key = (n, n1, inverse)
+    if key not in _four_step_cache:
+        w = root_of_unity(n)
+        if inverse:
+            w = pow(w, F.P - 2, F.P)
+        row = _powers_table(w, n2)                     # w^k2
+        out = np.empty((4, n1, n2), dtype=np.uint32)
+        out[:, 0] = np.broadcast_to(F.ONE_MONT.reshape(4, 1), (4, n2))
+        cur = row
+        for i1 in range(1, n1):
+            out[:, i1] = cur
+            if i1 + 1 < n1:
+                cur = F.mul(cur, row, np)
+        _four_step_cache[key] = out
+    return _four_step_cache[key]
+
+
 def intt(a: jnp.ndarray) -> jnp.ndarray:
     return ntt(a, inverse=True)
 
