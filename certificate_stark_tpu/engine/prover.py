@@ -122,8 +122,7 @@ class Prover:
         self.degrees = air.transition_degrees()
         self.assertions = air.assertions()
         self._periodic = air.periodic_lde(self.b, self.offset)
-        key = (air.__class__.__name__, self.n, self.w, repr(opts),
-               self.hasher.name, getattr(air, "depth", None))
+        key = self._cache_key()
         if key not in _PHASE_CACHE:
             self._build_phases()
             _PHASE_CACHE[key] = {a: getattr(self, a) for a in _PHASE_ATTRS}
@@ -142,18 +141,40 @@ class Prover:
             "assertion structure differs across instances of the same AIR shape"
         self._b_evals = tuple(jnp.asarray(t.b_evals) for t in tables)
 
+    def _cache_key(self):
+        return (type(self).__name__, type(self.air).__name__, self.n, self.w,
+                repr(self.opts), self.hasher.name,
+                getattr(self.air, "depth", None))
+
+    # -- big-domain transform builders (overridden by the sharded prover) ---
+    def _make_lde_big(self):
+        """coeffs [4, ..., n] -> evaluations over the bn coset [4, ..., bn]."""
+        b, n, offset = self.b, self.n, self.offset
+
+        def lde_big(coeffs):
+            pad = [(0, 0)] * (coeffs.ndim - 1) + [(0, (b - 1) * n)]
+            return NTT.ntt(NTT.coset_scale(jnp.pad(coeffs, pad), offset))
+
+        return lde_big
+
+    def _make_intt_big(self):
+        """evaluations over the bn coset -> coefficients (coset-corrected)."""
+        o_inv = pow(self.offset, F.P - 2, F.P)
+        return lambda evals: NTT.coset_scale(NTT.intt(evals), o_inv)
+
     # ------------------------------------------------------------------
     def _build_phases(self):
         air, n, w, b, bn, k = self.air, self.n, self.w, self.b, self.bn, self.k
         offset, gen_big, g_trace = self.offset, self.gen_big, self.g_trace
         hasher = self.hasher
         comp_deg = k * n - 1
+        lde_big = self._make_lde_big()
+        intt_big = self._make_intt_big()
 
         @jax.jit
         def phase_trace(trace):
             coeffs = NTT.intt(trace)
-            pad = [(0, 0), (0, 0), (0, (b - 1) * n)]
-            lde = NTT.ntt(NTT.coset_scale(jnp.pad(coeffs, pad), offset))
+            lde = lde_big(coeffs)
             return coeffs, lde
 
         # ---- host-numpy protocol tables (concrete jit constants) ----------
@@ -230,12 +251,10 @@ class Prover:
                 term = F.add(a_side, F.mul(b_side, xpow[grp["adj"]][:, None]))
                 comp = F.add(comp, F.mul(term, grp["inv_z"][:, None]))
 
-            comp_coeffs = NTT.coset_scale(NTT.intt(comp), pow(offset, F.P - 2, F.P))
+            comp_coeffs = intt_big(comp)
             h_coeffs = comp_coeffs[..., :k * n].reshape(4, d, n, k) \
                                                .transpose(0, 1, 3, 2)  # [4,d,k,n]
-            h_lde = NTT.ntt(NTT.coset_scale(
-                jnp.pad(h_coeffs, [(0, 0), (0, 0), (0, 0), (0, (b - 1) * n)]),
-                offset))
+            h_lde = lde_big(h_coeffs)
             return h_coeffs, h_lde
 
         from ..ops import extfield as XF
