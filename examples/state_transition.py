@@ -22,9 +22,11 @@ def main():
     ap.add_argument("-q", "--queries", type=int, default=42)
     ap.add_argument("-b", "--blowup", type=int, default=8)
     ap.add_argument("-g", "--grinding", type=int, default=0)
-    ap.add_argument("--hash-fn", default="rescue",
+    # defaults mirror the reference example (examples/state-transition.rs:63-72):
+    # Blake3 commitments, CUBIC extension field
+    ap.add_argument("--hash-fn", default="blake3",
                     choices=["rescue", "sha256", "blake3", "sha3"])
-    ap.add_argument("-e", "--extension", type=int, default=1, choices=[1, 2, 3])
+    ap.add_argument("-e", "--extension", type=int, default=3, choices=[1, 2, 3])
     ap.add_argument("-f", "--fri-folding", type=int, default=4, choices=[2, 4])
     ap.add_argument("--depth", type=int, default=15)
     ap.add_argument("-v", "--verbose", action="store_true",

@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""One-shot TPU measurement pass: run the moment the TPU tunnel is healthy.
+
+Benches each hot kernel in both its XLA (jnp) and Pallas form, plus the full
+bench workload, and prints a JSON report. Use the results to decide which
+Pallas kernels to wire into the prover phases (they are OFF by default).
+
+Usage:  python scripts/tpu_tune.py [--sizes small]
+Never kill this process mid-compile (it wedges the TPU tunnel relay).
+"""
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def bench(fn, *args, reps=10):
+    import jax
+    r = jax.block_until_ready(fn(*args))  # compile
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        r = jax.block_until_ready(fn(*args))
+    return (time.perf_counter() - t0) / reps
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from certificate_stark_tpu.ops import field as F, ntt as NTT
+    from certificate_stark_tpu.ops import rescue as R
+    from certificate_stark_tpu.ops import pallas_kernels as PK
+
+    out = {"backend": jax.default_backend(),
+           "device": str(jax.devices()[0])}
+    rng = np.random.default_rng(0)
+
+    def rnd(*s):
+        return jnp.asarray(
+            F.from_int(rng.integers(0, F.P, size=s).astype(object)))
+
+    B = 1 << 20
+    a, b = rnd(B), rnd(B)
+    out["mul_jnp_s"] = bench(jax.jit(F.mul), a, b)
+    try:
+        out["mul_pallas_s"] = bench(lambda x, y: PK.pallas_mul(x, y), a, b)
+    except Exception as e:  # noqa: BLE001
+        out["mul_pallas_s"] = f"FAIL {type(e).__name__}: {e}"
+    out["field_mul_per_s"] = B / out["mul_jnp_s"]
+
+    st = rnd(14, 4096)
+    out["rescue_perm_jnp_s"] = bench(jax.jit(R.permutation), st)
+    try:
+        out["rescue_perm_pallas_s"] = bench(
+            lambda x: PK.pallas_rescue_permutation(x), st)
+    except Exception as e:  # noqa: BLE001
+        out["rescue_perm_pallas_s"] = f"FAIL {type(e).__name__}: {e}"
+
+    x = rnd(14, 1 << 15)
+    out["ntt_radix2_32k_s"] = bench(jax.jit(NTT.ntt), x)
+    out["ntt_fourstep_32k_s"] = bench(jax.jit(NTT.ntt_four_step), x)
+    try:
+        xl = rnd(64, 1024)
+        out["ntt_pallas_local_1k_s"] = bench(
+            lambda v: PK.pallas_local_ntt(v), xl)
+    except Exception as e:  # noqa: BLE001
+        out["ntt_pallas_local_1k_s"] = f"FAIL {type(e).__name__}: {e}"
+    big = rnd(1, 1 << 20)
+    out["ntt_radix2_1m_s"] = bench(jax.jit(NTT.ntt), big)
+    out["ntt_fourstep_1m_s"] = bench(jax.jit(NTT.ntt_four_step), big)
+    n_butterfly = (1 << 20) * 20 / 2
+    best = min(out["ntt_radix2_1m_s"], out["ntt_fourstep_1m_s"])
+    out["ntt_butterflies_per_s"] = n_butterfly / best
+
+    print(json.dumps(out, indent=2))
+
+    # full bench workload (warm), same as bench.py
+    from certificate_stark_tpu.engine.options import ProofOptions
+    from certificate_stark_tpu.engine import prover as PR
+    from certificate_stark_tpu.models import rescue_chain as RC
+    opts = ProofOptions(num_queries=42, blowup=4, grinding_bits=0,
+                        hash_fn="blake3", extension_degree=1,
+                        fri_folding=4, fri_max_remainder=256)
+    ex = RC.RescueChainExample(1024, opts)
+    air = RC.RescueChainAir(1024 * 8, ex.pub_inputs(), opts)
+    prover = PR.Prover(air)
+    prover.prove(ex.trace)
+    t0 = time.perf_counter()
+    proof = prover.prove(ex.trace)
+    print(json.dumps({"rescue_chain_1024_prove_warm_s":
+                      time.perf_counter() - t0,
+                      "verified": bool(ex.verify(proof))}))
+
+
+if __name__ == "__main__":
+    main()
