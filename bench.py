@@ -89,8 +89,11 @@ def main():
     prover = PR.Prover(air)
 
     proof = prover.prove(ex.trace)  # warmup: compiles all phases
+    # timed region includes trace generation, like the reference bench
+    # (benches/rescue.rs: prove() = build_trace + engine prove)
     t0 = time.time()
-    proof = prover.prove(ex.trace)
+    trace = RC.build_trace(ex.seed, CHAIN)
+    proof = prover.prove(trace)
     dt = time.time() - t0
 
     ok = ex.verify(proof)

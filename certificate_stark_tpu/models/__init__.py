@@ -22,7 +22,9 @@ def get_example(name: str, size: int = 2, options=None, **kwargs):
         return M.RangeExample(size, opts)
     if name == "merkle-init":
         from . import merkle_init as M
-        return M.MerkleInitExample(size, opts, **kwargs)
+        # single-tx leaf-hash program: no size parameter (reference
+        # src/merkle/init/mod.rs get_example)
+        return M.MerkleInitExample(opts, **kwargs)
     if name == "merkle-update":
         from . import merkle_update as M
         return M.MerkleUpdateExample(size, opts, **kwargs)

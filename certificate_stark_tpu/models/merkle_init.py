@@ -141,7 +141,7 @@ class MerkleInitExample:
     def prove(self):
         from ..engine import prover as PR
         air = MerkleInitAir(CYCLE, self.pub_inputs(), self.options)
-        return PR.prove(air, self.trace)
+        return PR.prove(air, build_trace(self.s_inputs, self.r_inputs, self.delta))
 
     def verify(self, proof, pub_inputs=None):
         from ..engine import verifier as V

@@ -175,7 +175,7 @@ class MerkleUpdateExample:
         from ..engine import prover as PR
         n = self.trace.shape[-1]
         air = MerkleUpdateAir(n, self.pub_inputs(), self.options, depth=self.depth)
-        return PR.prove(air, self.trace)
+        return PR.prove(air, build_trace(self.md.tx_dicts(), self.depth))
 
     def verify(self, proof, pub_inputs=None):
         from ..engine import verifier as V

@@ -74,7 +74,8 @@ class RangeExample:
     def prove(self):
         from ..engine import prover as PR
         air = RangeAir(RANGE_LOG, [self.number], self.options)
-        return PR.prove(air, self.trace)
+        # trace rebuilt inside prove, matching the reference (prove = build_trace + engine)
+        return PR.prove(air, build_trace(self.number))
 
     def verify(self, proof, number=None):
         from ..engine import verifier as V

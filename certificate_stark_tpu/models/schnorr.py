@@ -318,7 +318,7 @@ class SchnorrExample:
         from ..engine import prover as PR
         n = self.trace.shape[-1]
         air = SchnorrAir(n, self.pub_inputs(), self.options)
-        return PR.prove(air, self.trace)
+        return PR.prove(air, build_trace(self.messages, self.signatures))
 
     def verify(self, proof, pub_inputs=None):
         from ..engine import verifier as V

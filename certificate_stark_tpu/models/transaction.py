@@ -323,7 +323,7 @@ class TransactionExample:
         from ..engine import prover as PR
         n = self.trace.shape[-1]
         air = TransactionAir(n, self.pub_inputs(), self.options, depth=self.depth)
-        return PR.prove(air, self.trace)
+        return PR.prove(air, build_trace(self.md, self.messages))
 
     def verify(self, proof, pub_inputs=None):
         from ..engine import verifier as V

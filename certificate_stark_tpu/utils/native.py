@@ -70,6 +70,15 @@ def merge(d0, d1) -> tuple:
     return tuple(int(v) for v in out)
 
 
+def chain_trace(seed7, length: int) -> np.ndarray:
+    """Rescue hash-chain trace rows [length*8, 14] u64 standard form
+    (the reference bench workload; see native/f63.c rescue_chain_trace)."""
+    s = _arr(seed7)
+    out = np.empty(length * 8 * 14, dtype=np.uint64)
+    lib().rescue_chain_trace(_p(s), length, _p(out))
+    return out.reshape(length * 8, 14)
+
+
 def blake3(data: bytes) -> bytes:
     """Full BLAKE3-256 (chunk tree included) of arbitrary bytes."""
     buf = (ctypes.c_uint8 * len(data)).from_buffer_copy(data) if data \

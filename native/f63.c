@@ -107,6 +107,24 @@ void rescue_merge(const u64 *d0, const u64 *d1, u64 *out7) {
     for (int j = 0; j < 7; j++) out7[j] = st[j];
 }
 
+/* full rescue hash-chain trace rows (the reference bench workload,
+   benches/rescue.rs trace): cycle k rows are the 8 sponge states
+   [d_k || 0], round_1, .., round_7 with d_{k+1} = row_7[0..7].
+   out: length*8*14 u64 values (standard form), row-major [cycle, row, col]. */
+void rescue_chain_trace(const u64 *seed7, u64 length, u64 *out) {
+    u64 st[STATE];
+    for (int j = 0; j < 7; j++) st[j] = seed7[j] % P;
+    for (u64 k = 0; k < length; k++) {
+        for (int j = 7; j < STATE; j++) st[j] = 0;
+        u64 *cycle = out + k * 8 * STATE;
+        for (int j = 0; j < STATE; j++) cycle[j] = st[j];
+        for (int r = 0; r < 7; r++) {
+            rescue_apply_round(st, r);
+            for (int j = 0; j < STATE; j++) cycle[(r + 1) * STATE + j] = st[j];
+        }
+    }
+}
+
 /* batched merkle path verification: cur = leaf; fold siblings by index bits */
 int rescue_verify_path(const u64 *root, u64 index, const u64 *leaf,
                        const u64 *path, size_t depth) {
