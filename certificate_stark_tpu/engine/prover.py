@@ -229,16 +229,18 @@ class Prover:
             evals = air.evaluate_transition(BASE, lde, nxt, periodic)
             if isinstance(evals, (list, tuple)):
                 evals = jnp.stack(evals, axis=1)       # [4, C, bn]
-            q = F.mul(evals, zt_inv[:, None])
-            qd = q[:, :, None, :]                      # [4, C, 1, bn]
             # fused dots over the constraint axis: one deferred REDC per
-            # output point instead of one per constraint (F.mul_sum)
-            alpha_side = F.mul_sum(qd, t_alpha[:, :, :, None], axis=1)  # [4,d,bn]
-            comp = alpha_side
+            # output point instead of one per constraint (F.mul_sum). The
+            # transition zerofier inverse is a per-point scalar shared by all
+            # constraints, so it multiplies the combined dot (1 mul per ext
+            # coord) rather than each of the C quotients.
+            qd = evals[:, :, None, :]                  # [4, C, 1, bn]
+            comp = F.mul_sum(qd, t_alpha[:, :, :, None], axis=1)  # [4,d,bn]
             for g in adj_groups:
                 beta_g = t_beta[:, :, :, None] * adj_mask[g]
                 part = F.mul_sum(qd, beta_g, axis=1)
                 comp = F.add(comp, F.mul(part, xpow[g][:, None]))
+            comp = F.mul(comp, zt_inv[:, None])
 
             # boundary terms: per divisor group, stacked over its assertions
             for gi, grp in enumerate(b_struct):
