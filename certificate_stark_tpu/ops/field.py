@@ -222,27 +222,63 @@ def _mul_wide_t(a, b, xp):
     return xp.stack(out, axis=0)
 
 
+# The modulus and -p^{-1} mod 2^64 are heavily structured:
+#   p  = 0x4180000000000001  -> limbs [1, 0, 0, 0x4180]
+#   N' = 0x417fffffffffffff  -> (0x4180 << 48) - 1
+# so the REDC products cost 1 multiply (m = t*N' mod R = ((t0*0x4180)<<48) - t)
+# and 4 multiplies (m*p = m + ((m*0x4180)<<48)) instead of 16 each.
+_P_TOP = np.uint32(0x4180)
+_B16 = np.uint32(0x10000)
+_ONE = np.uint32(1)
+
+
+def _redc(t, xp):
+    """REDC of a carry-normalized 16-bit-limb list t (8 or 9 limbs):
+    returns u = (t + m*p) / 2^64 as a 5-limb list (NOT reduced below p)."""
+    # m = ((t0 * 0x4180) & 0xFFFF) << 48  minus  t[0..3],  mod 2^64
+    a3 = (t[0] * _P_TOP) & MASK16
+    d0 = _B16 - t[0]
+    m0 = d0 & MASK16
+    bor = _ONE - (d0 >> 16)          # borrow unless t0 == 0
+    d1 = _B16 - t[1] - bor
+    m1 = d1 & MASK16
+    bor = _ONE - (d1 >> 16)
+    d2 = _B16 - t[2] - bor
+    m2 = d2 & MASK16
+    bor = _ONE - (d2 >> 16)
+    m3 = (a3 - t[3] - bor) & MASK16
+    # m*p contributions: m at columns 0..3; m*0x4180 at columns 3..7
+    mp_lo = [(m * _P_TOP) & MASK16 for m in (m0, m1, m2, m3)]
+    mp_hi = [(m * _P_TOP) >> 16 for m in (m0, m1, m2, m3)]
+    cols = [t[0] + m0, t[1] + m1, t[2] + m2,
+            t[3] + m3 + mp_lo[0],
+            t[4] + mp_hi[0] + mp_lo[1],
+            t[5] + mp_hi[1] + mp_lo[2],
+            t[6] + mp_hi[2] + mp_lo[3],
+            t[7] + mp_hi[3]]
+    if len(t) > 8:
+        cols.append(t[8])
+    u = []
+    carry = np.uint32(0)
+    for k, c in enumerate(cols):
+        s = c + carry
+        carry = s >> 16
+        if k >= 4:
+            u.append(s & MASK16)
+    while len(u) < 5:
+        u.append(carry)
+        carry = np.uint32(0)
+    return u
+
+
 def mul(a, b, xp=jnp):
     """Montgomery multiply: returns REDC(a*b); inputs/outputs in Montgomery form."""
     a = xp.asarray(a)
     b = xp.asarray(b)
-
     t = _mul_wide_t(a, b, xp)                     # t = a*b, 8 limbs
-    shape = (4,) + (1,) * (t.ndim - 1)
-    np_l = NPRIME_LIMBS.reshape(shape)
-    p_l = P_LIMBS.reshape(shape)
-    m = _mul_wide_t(t[:4], np_l, xp)[:4]
-    mp = _mul_wide_t(m, p_l, xp)                  # m*p, 8 limbs
-    # u = (t + m*p) / 2^64 : low 4 limbs cancel; propagate their carries
-    carry = np.uint32(0)
-    out = []
-    for k in range(8):
-        s = t[k] + mp[k] + carry
-        carry = s >> 16
-        if k >= 4:
-            out.append(s & MASK16)
-    # result < 2p fits in 4 limbs (2p < 2^64), final carry must be 0
-    return xp.stack(_cond_sub_p(out, xp), axis=0)
+    u = _redc([t[k] for k in range(8)], xp)
+    # u < 2p < 2^64: top limb is zero
+    return xp.stack(_cond_sub_p(u[:4], xp), axis=0)
 
 
 def square(a, xp=jnp):
@@ -327,19 +363,8 @@ def mul_sum(a, b, axis: int, xp=jnp, j_bound: int | None = None):
         carry = s >> 16
         t.append(s & MASK16)
 
-    # REDC: m = (t mod R) * N' mod R ; u = (t + m*p) / R
-    np_l = [np.uint32(int(x)) for x in NPRIME_LIMBS]
-    p_l = [np.uint32(int(x)) for x in P_LIMBS]
-    m, _ = _mul_wide(t[:4], np_l, 4)
-    mp, mp_carry = _mul_wide(m, p_l, 8)
-    u = []
-    carry = np.uint32(0)
-    for k in range(9):
-        s = t[k] + (mp[k] if k < 8 else mp_carry) + carry
-        carry = s >> 16
-        if k >= 4:
-            u.append(s & MASK16)
-    u[4] = u[4] + (carry << 16)  # u < p*(1 + J*p/R) fits 5 limbs (< 2^80)
+    # REDC via the structured-constant path (see _redc): u < p*(1 + J*p/R)
+    u = _redc(t, xp)
 
     # binary tail reduction: cond-subtract 2^s*p from s_max down to 0
     u_max = P + (J * (P - 1) * (P - 1)) // R
