@@ -38,9 +38,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--full", action="store_true",
                     help="reference-size workloads (chain 1024, 128 units, depth 15)")
-    ap.add_argument("--hash-fn", default="rescue",
+    ap.add_argument("--hash-fn", default="blake3",
                     choices=["rescue", "sha256", "blake3", "sha3"],
-                    help="commitment hash (reference benches use blake3)")
+                    help="commitment hash (blake3 = the reference benches')")
     args = ap.parse_args()
 
     from certificate_stark_tpu.engine.options import ProofOptions

@@ -126,26 +126,26 @@ def evaluate_schnorr(fx, current, nxt, agg, ark0, ark1, doubling, addition,
     b3 = fx.embed(CV.B3_LIMBS)
     gen12 = fx.embed(_gen12())
 
-    # ---- point 1: S = s*G ------------------------------------------------
-    cur1 = fx.cols(current, 0, 19)
-    nxt1 = fx.cols(nxt, 0, 19)
-    dbl = E.enforce_point_doubling(fx, cur1, nxt1, doubling, b3)
-    addm = E.enforce_point_addition_mixed(fx, cur1, nxt1, gen12, addition, b3)
+    # ---- points 1 & 2 (S = s*G and h*P), STACKED -------------------------
+    # the two scalar-mul chains run the same doubling/cond-add constraints,
+    # so they evaluate as one batched EC block on [.., 2, 19, B] — half the
+    # kernel graph of two separate blocks (compile time + fusion quality).
+    cur12 = fx.stack([fx.cols(current, 0, 19), fx.cols(current, 19, 38)],
+                     axis=1)
+    nxt12 = fx.stack([fx.cols(nxt, 0, 19), fx.cols(nxt, 19, 38)], axis=1)
+    pts12 = fx.stack([fx.xp.broadcast_to(gen12, pkey.shape), pkey], axis=1)
+    dflag = doubling[:, None]
+    aflag = addition[:, None]
+    dbl12 = E.enforce_point_doubling(fx, cur12, nxt12, dflag, b3)
+    addm12 = E.enforce_point_addition_mixed(fx, cur12, nxt12, pts12, aflag, b3)
     red = E.enforce_point_addition_reduce_x(
         fx, fx.cols(current, 0, 18), fx.cols(nxt, 0, 18),
         fx.cols(current, 19, 37), final_flag, b3)
     for i in range(19):
-        agg(i, fx.add(dbl[:, i], addm[:, i]))
+        agg(i, fx.add(dbl12[:, 0, i], addm12[:, 0, i]))
+        agg(19 + i, fx.add(dbl12[:, 1, i], addm12[:, 1, i]))
     for i in range(18):
         agg(i, red[:, i])
-
-    # ---- point 2: h*P ----------------------------------------------------
-    cur2 = fx.cols(current, 19, 38)
-    nxt2 = fx.cols(nxt, 19, 38)
-    dbl2 = E.enforce_point_doubling(fx, cur2, nxt2, doubling, b3)
-    addm2 = E.enforce_point_addition_mixed(fx, cur2, nxt2, pkey, addition, b3)
-    for i in range(19):
-        agg(19 + i, fx.add(dbl2[:, i], addm2[:, i]))
 
     # ---- h-limb accumulators (rows 38..42) -------------------------------
     hbit = fx.col(nxt, 37)

@@ -120,6 +120,36 @@ def f6_inv(fx, a):
     return _cat([r0, r1, r2], fx)
 
 
+def _is_scalar_const(b3) -> bool:
+    """Static host check: b3 is a concrete constant whose fp6 coords 1..5 are
+    all zero (true for the default subfield-curve instance, b = B0 in F_p —
+    see utils/curve.py B3_LIMBS). Constants are concrete arrays even inside
+    jit traces, so this never inspects traced values."""
+    import numpy as _np
+    try:
+        arr = _np.asarray(b3)
+    except Exception:  # noqa: BLE001  (traced value: be conservative)
+        return False
+    if arr.dtype == object:                      # HostExtOps tuple elements
+        flat = arr.reshape(-1)
+        return all(all(int(c) == 0 for c in t) for t in flat[len(flat) // 6:])
+    if hasattr(b3, "aval") and not hasattr(b3, "__array__"):
+        return False
+    return not arr[:, 1:].any()                  # limb array [4, 6, ...]
+
+
+def _mul_b3(fx, b3, t):
+    """b3 * t in fp6. When b3 is a base-subfield scalar (coords 1..5 zero),
+    this is 6 base multiplies instead of the 18-multiply karatsuba."""
+    if _is_scalar_const(b3):
+        c = b3[..., 0:1, :]
+        extra = t.ndim - c.ndim          # align ranks (t may carry extra
+        if extra > 0:                    # stacked batch axes)
+            c = c.reshape(c.shape[:1] + (1,) * extra + c.shape[1:])
+        return fx.mul(t, c)
+    return f6_mul(fx, b3, t)
+
+
 # ---------------------------------------------------------------------------
 # point ops on stacked projective points [..., 18, B] (X||Y||Z), mirroring the
 # exact mul/add sequences of ecc.rs (formula-identical intermediates).
@@ -136,13 +166,13 @@ def compute_double(fx, pt, b3):
     t2 = m(z, z)
     t3 = d(m(x, y))
     z3 = d(m(x, z))
-    y3 = m(b3, t2)
+    y3 = _mul_b3(fx, b3, t2)
     y3 = a(z3, y3)
     x3 = s(t1, y3)
     y3 = a(t1, y3)
     y3 = m(x3, y3)
     x3 = m(t3, x3)
-    z3 = m(b3, z3)
+    z3 = _mul_b3(fx, b3, z3)
     t3 = s(t0, t2)
     t3 = a(t3, z3)
     z3 = d(t0)
@@ -172,13 +202,13 @@ def compute_add(fx, pt1, pt2, b3):
     t3 = s(m(a(x1, y1), a(x2, y2)), a(t0, t1))
     t4 = s(m(a(x1, z1), a(x2, z2)), a(t0, t2))
     t5 = s(m(a(y1, z1), a(y2, z2)), a(t1, t2))
-    x3 = m(b3, t2)
+    x3 = _mul_b3(fx, b3, t2)
     z3 = a(x3, t4)
     x3 = s(t1, z3)
     z3 = a(t1, z3)
     y3 = m(x3, z3)
     t1 = a(d(t0), t0)
-    t4 = m(b3, t4)
+    t4 = _mul_b3(fx, b3, t4)
     t1 = a(t1, t2)
     t2 = s(t0, t2)
     t4 = a(t4, t2)
@@ -204,13 +234,13 @@ def compute_add_mixed(fx, pt1, pt2_affine, b3):
     t3 = s(m(a(x2, y2), a(x1, y1)), a(t0, t1))
     t4 = a(m(x2, z1), x1)
     t5 = a(m(y2, z1), y1)
-    x3 = m(z1, b3)
+    x3 = _mul_b3(fx, b3, z1)
     z3 = a(x3, t4)
     x3 = s(t1, z3)
     z3 = a(t1, z3)
     y3 = m(x3, z3)
     t1 = a(d(t0), t0)
-    t4 = m(t4, b3)
+    t4 = _mul_b3(fx, b3, t4)
     t1 = a(t1, z1)
     t2 = s(t0, z1)
     t4 = a(t4, t2)
