@@ -18,6 +18,10 @@ from ..ops import field as F
 class BaseFieldOps:
     degree = 1
     xp = jnp
+    # measured OFF on XLA:CPU: the dot-reconstruction fp6 mul wins 2x in
+    # isolation but loses 5x inside long EC chains (mul_sum's widened
+    # intermediates defeat fusion); re-evaluate on real TPU hardware
+    fast_f6 = False
 
     add = staticmethod(F.add)
     sub = staticmethod(F.sub)
@@ -103,6 +107,7 @@ class NPFieldOps(BaseFieldOps):
 
     degree = 1
     xp = _np
+    fast_f6 = False
 
     add = staticmethod(lambda a, b: F.add(a, b, _np))
     sub = staticmethod(lambda a, b: F.sub(a, b, _np))

@@ -31,8 +31,71 @@ def f6_double(fx, a):
     return fx.add(a, a)
 
 
+# --- fast fp6 multiply (limb facades) ---------------------------------------
+# Operand assembly and result reconstruction are LINEAR in the inputs /
+# partial products, so instead of ~45 single-row slice/concat/add ops (which
+# dominate runtime: per-op overhead + copies) the fast path uses two gathers +
+# one select per side, one big 18-row multiply, and ONE deferred-REDC dot
+# against a constant 6x18 integer matrix. Bit-identical to the generic path.
+# reconstruction: out rows (c0_0,c0_1,c1_0,c1_1,c2_0,c2_1); prod rows in
+# BLOCK order (u_0..u_5, v_0..v_5, w_0..w_5); e0(k)=u+2v, e1(k)=u+3v+w;
+# c0 = e(0)+e(1)+e(2)-e(5); c1 = e(3)-e(5)-e(0); c2 = e(4)-e(0)+e(1)-2e(2)
+_PAIR_SIGNS = [  # per out-coefficient: {pair index: sign multiplier}
+    {0: 1, 1: 1, 2: 1, 5: -1},       # c0
+    {3: 1, 5: -1, 0: -1},            # c1
+    {4: 1, 0: -1, 1: 1, 2: -2},      # c2
+]
+_E_COEF = [(1, 2, 0), (1, 3, 1)]     # e_j over (u, v, w)
+_RECON_CACHE = {}
+
+
+def _recon_matrix():
+    """Constant 6x18 Montgomery matrix M with out = REDC-dot(M, prod)."""
+    if "m" not in _RECON_CACHE:
+        import numpy as _np
+        from . import field as F
+        m = _np.zeros((6, 18), dtype=object)
+        for ci, signs in enumerate(_PAIR_SIGNS):
+            for j in (0, 1):
+                r = 2 * ci + j
+                for k, s in signs.items():
+                    for t in range(3):
+                        m[r, 6 * t + k] += s * _E_COEF[j][t]
+        m %= F.P
+        _RECON_CACHE["m"] = F.from_int(m)            # [4, 6, 18]
+    return _RECON_CACHE["m"]
+
+
+def _f6_mul_fast(fx, a, b):
+    # all row selections are contiguous or stride-2 slices (XLA-cheap; no
+    # gathers — gather ops defeat fusion and are ~15x slower on CPU)
+    from . import field as F
+    xp = fx.xp
+
+    def blocks(x):
+        # [.., 6, B] -> (u0s, u1s): per-pair first/second fp2 coords,
+        # pairs = (a0, a1, a2, a0+a1, a0+a2, a1+a2)
+        s01 = F.add(x[..., 0:2, :], x[..., 2:4, :], xp)          # a0+a1
+        c2 = x[..., 4:6, :]
+        s02_12 = F.add(x[..., 0:4, :],
+                       xp.concatenate([c2, c2], axis=-2), xp)    # a0+a2, a1+a2
+        six = xp.concatenate([x[..., 0:6, :], s01, s02_12], axis=-2)  # 12 rows
+        return six[..., 0::2, :], six[..., 1::2, :]  # u0s, u1s [.., 6, B]
+
+    a0s, a1s = blocks(a)
+    b0s, b1s = blocks(b)
+    ls = xp.concatenate([a0s, a1s, F.sub(a0s, a1s, xp)], axis=-2)
+    rs = xp.concatenate([b0s, b1s, F.sub(b1s, b0s, xp)], axis=-2)
+    prod = F.mul(ls, rs, xp)                         # [4, .., 18, B]
+    m = xp.asarray(_recon_matrix())
+    m = m.reshape((4,) + (1,) * (prod.ndim - 3) + (6, 18, 1))
+    return F.mul_sum(m, prod[..., None, :, :], axis=-2, xp=xp)
+
+
 def f6_mul(fx, a, b):
     """fp6 multiply: a, b [..., 6, B] -> [..., 6, B]."""
+    if getattr(fx, "fast_f6", False):
+        return _f6_mul_fast(fx, a, b)
     a0, a1, a2 = a[..., 0:2, :], a[..., 2:4, :], a[..., 4:6, :]
     b0, b1, b2 = b[..., 0:2, :], b[..., 2:4, :], b[..., 4:6, :]
     pairs = [(a0, b0), (a1, b1), (a2, b2),
