@@ -100,8 +100,8 @@ def _commit(hasher, data):
 _PHASE_CACHE = {}
 
 
-_PHASE_ATTRS = ("phase_trace", "phase_composition", "phase_ood", "phase_deep",
-                "_fri_kernels", "_b_struct")
+_PHASE_ATTRS = ("phase_trace", "phase_composition", "phase_composition_pre",
+                "phase_ood", "phase_deep", "_fri_kernels", "_b_struct")
 
 
 class Prover:
@@ -122,6 +122,8 @@ class Prover:
         self.degrees = air.transition_degrees()
         self.assertions = air.assertions()
         self._periodic = air.periodic_lde(self.b, self.offset)
+        self._native_kind = self._pick_native_eval()
+        self._periodic_u64 = None
         key = self._cache_key()
         if key not in _PHASE_CACHE:
             self._build_phases()
@@ -144,7 +146,46 @@ class Prover:
     def _cache_key(self):
         return (type(self).__name__, type(self.air).__name__, self.n, self.w,
                 repr(self.opts), self.hasher.name,
-                getattr(self.air, "depth", None))
+                getattr(self.air, "depth", None), self._native_kind)
+
+    def _pick_native_eval(self):
+        """Use the native C constraint evaluator (native/air_eval.c) on the
+        CPU backend: XLA:CPU executes the EC-heavy constraint graphs ~100x
+        slower than scalar code. On TPU the fused device kernel is the
+        production path. Disable with CSTARK_NATIVE_EVAL=0."""
+        import os
+        if type(self) is not Prover:
+            return None          # sharded prover: keep the device path
+        if os.environ.get("CSTARK_NATIVE_EVAL", "1") == "0":
+            return None
+        kind = getattr(self.air, "native_eval_kind", None)
+        if not kind:
+            return None
+        try:
+            import jax as _jax
+            if _jax.default_backend() != "cpu":
+                return None
+            from ..utils import native as NAT
+            if not NAT.available():
+                return None
+            if kind in ("schnorr", "transaction"):
+                from ..utils import curve as CV
+                if any(v != 0 for v in CV.B3_LIMBS[1:]):
+                    return None  # native EC path assumes scalar b3
+        except Exception:  # noqa: BLE001
+            return None
+        return kind
+
+    def _native_evals(self, lde):
+        """Host-side constraint evaluation -> stacked evals [4, C, bn]."""
+        from ..utils import native as NAT
+        lde_u = F.pack_u64(np.asarray(lde))
+        nxt_u = np.roll(lde_u, -self.b, axis=-1)
+        if self._periodic_u64 is None:
+            self._periodic_u64 = F.pack_u64(self._periodic)
+        out = NAT.eval_air(self._native_kind, lde_u, nxt_u,
+                           self._periodic_u64, len(self.degrees))
+        return jnp.asarray(F.unpack_u64(out))
 
     # -- big-domain transform builders (overridden by the sharded prover) ---
     def _make_lde_big(self):
@@ -210,7 +251,7 @@ class Prover:
         self._b_struct = b_struct
         adj_groups = sorted(set(t_adjs))
         adj_mask = {g: np.array([adj == g for adj in t_adjs],
-                                dtype=np.uint32).reshape(1, -1, 1, 1)
+                                dtype=np.uint32).reshape(1, -1, 1)
                     for g in adj_groups}
         xpow = {}
         for adj in set(t_adjs) | {g["adj"] for g in b_struct}:
@@ -219,38 +260,40 @@ class Prover:
 
         d = self.d
 
-        @jax.jit
-        def phase_composition(lde, t_alpha, t_beta, b_alpha, b_beta,
-                              periodic, b_evals):
+        def _compose_body(evals, lde, t_alpha, t_beta, b_alpha, b_beta,
+                          b_evals):
             # coefficient arrays carry a trailing extension axis [4, C, d]
             # (d == 1 for base-field proofs); the composition lives in the
             # extension: comp [4, d, bn].
-            nxt = jnp.roll(lde, -b, axis=-1)
-            evals = air.evaluate_transition(BASE, lde, nxt, periodic)
-            if isinstance(evals, (list, tuple)):
-                evals = jnp.stack(evals, axis=1)       # [4, C, bn]
-            # fused dots over the constraint axis: one deferred REDC per
-            # output point instead of one per constraint (F.mul_sum). The
-            # transition zerofier inverse is a per-point scalar shared by all
-            # constraints, so it multiplies the combined dot (1 mul per ext
-            # coord) rather than each of the C quotients.
+            # ONE fused dot over the constraint axis for alpha AND every
+            # degree-adjustment group: the per-group coefficient vectors are
+            # stacked on the output axis, so XLA sees a single mul_sum (one
+            # deferred REDC per output) — separate dots sharing the same
+            # input explode superlinearly on XLA:CPU (2 dots 0.14s, 6 dots
+            # 27s for the schnorr AIR). The transition zerofier inverse is a
+            # per-point scalar shared by all constraints, so it multiplies
+            # the combined result rather than each of the C quotients.
             qd = evals[:, :, None, :]                  # [4, C, 1, bn]
-            comp = F.mul_sum(qd, t_alpha[:, :, :, None], axis=1)  # [4,d,bn]
-            for g in adj_groups:
-                beta_g = t_beta[:, :, :, None] * adj_mask[g]
-                part = F.mul_sum(qd, beta_g, axis=1)
+            coeffs = jnp.concatenate(
+                [t_alpha] + [t_beta * adj_mask[g] for g in adj_groups],
+                axis=2)                                # [4, C, (1+G)*d]
+            dots = F.mul_sum(qd, coeffs[:, :, :, None], axis=1)
+            comp = dots[:, :d]
+            for gi, g in enumerate(adj_groups):
+                part = dots[:, (1 + gi) * d:(2 + gi) * d]
                 comp = F.add(comp, F.mul(part, xpow[g][:, None]))
             comp = F.mul(comp, zt_inv[:, None])
 
-            # boundary terms: per divisor group, stacked over its assertions
+            # boundary terms: per divisor group, stacked over its assertions;
+            # the alpha and beta dots fuse the same way
             for gi, grp in enumerate(b_struct):
                 rows = lde[:, grp["columns"]]          # [4, g, bn]
                 num = F.sub(rows, b_evals[gi])[:, :, None, :]
-                a_side = F.mul_sum(num, b_alpha[:, grp["coeff_idx"], :, None],
-                                   axis=1)
-                b_side = F.mul_sum(num, b_beta[:, grp["coeff_idx"], :, None],
-                                   axis=1)
-                term = F.add(a_side, F.mul(b_side, xpow[grp["adj"]][:, None]))
+                bc = jnp.concatenate([b_alpha[:, grp["coeff_idx"]],
+                                      b_beta[:, grp["coeff_idx"]]], axis=2)
+                bd = F.mul_sum(num, bc[:, :, :, None], axis=1)
+                term = F.add(bd[:, :d],
+                             F.mul(bd[:, d:], xpow[grp["adj"]][:, None]))
                 comp = F.add(comp, F.mul(term, grp["inv_z"][:, None]))
 
             comp_coeffs = intt_big(comp)
@@ -258,6 +301,24 @@ class Prover:
                                                .transpose(0, 1, 3, 2)  # [4,d,k,n]
             h_lde = lde_big(h_coeffs)
             return h_coeffs, h_lde
+
+        @jax.jit
+        def phase_composition(lde, t_alpha, t_beta, b_alpha, b_beta,
+                              periodic, b_evals):
+            nxt = jnp.roll(lde, -b, axis=-1)
+            evals = air.evaluate_transition(BASE, lde, nxt, periodic)
+            if isinstance(evals, (list, tuple)):
+                evals = jnp.stack(evals, axis=1)       # [4, C, bn]
+            return _compose_body(evals, lde, t_alpha, t_beta, b_alpha,
+                                 b_beta, b_evals)
+
+        @jax.jit
+        def phase_composition_pre(evals, lde, t_alpha, t_beta, b_alpha,
+                                  b_beta, b_evals):
+            """Variant taking pre-computed constraint evaluations (the
+            native C CPU evaluator path; see _pick_native_eval)."""
+            return _compose_body(evals, lde, t_alpha, t_beta, b_alpha,
+                                 b_beta, b_evals)
 
         from ..ops import extfield as XF
 
@@ -333,6 +394,7 @@ class Prover:
 
         self.phase_trace = phase_trace
         self.phase_composition = phase_composition
+        self.phase_composition_pre = phase_composition_pre
         self.phase_ood = phase_ood
         self.phase_deep = phase_deep
 
@@ -433,10 +495,16 @@ class Prover:
             h_lde = jnp.asarray(data["h_lde"])
             h_levels = [jnp.asarray(x) for x in ck.unpack_levels(data)]
         else:
-            h_coeffs, h_lde = self.phase_composition(
-                lde, t_alpha, t_beta, b_alpha, b_beta,
-                jnp.asarray(self._periodic) if self._periodic is not None
-                else jnp.zeros((4, 0, self.bn), jnp.uint32), self._b_evals)
+            if self._native_kind:
+                evals = self._native_evals(lde)
+                h_coeffs, h_lde = self.phase_composition_pre(
+                    evals, lde, t_alpha, t_beta, b_alpha, b_beta,
+                    self._b_evals)
+            else:
+                h_coeffs, h_lde = self.phase_composition(
+                    lde, t_alpha, t_beta, b_alpha, b_beta,
+                    jnp.asarray(self._periodic) if self._periodic is not None
+                    else jnp.zeros((4, 0, self.bn), jnp.uint32), self._b_evals)
             tm.mark("constraint eval", h_lde)
             h_levels = _commit(
                 hasher, h_lde.transpose(0, 2, 1, 3).reshape(4, k * d, bn))

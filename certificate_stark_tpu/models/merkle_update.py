@@ -107,6 +107,7 @@ class MerkleUpdateAir(Air):
 
     name = "merkle-update"
     trace_width = TRACE_WIDTH
+    native_eval_kind = "merkle_update"
 
     def __init__(self, trace_length, pub_inputs, options, depth=15):
         super().__init__(trace_length, pub_inputs, options)

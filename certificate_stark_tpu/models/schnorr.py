@@ -184,6 +184,7 @@ class SchnorrAir(Air):
 
     name = "schnorr"
     trace_width = TRACE_WIDTH
+    native_eval_kind = "schnorr"   # CPU-backend C evaluator (native/air_eval.c)
 
     def __init__(self, trace_length, pub_inputs, options):
         super().__init__(trace_length, pub_inputs, options)

@@ -126,6 +126,7 @@ class TransactionAir(Air):
 
     name = "transaction"
     trace_width = TRACE_WIDTH
+    native_eval_kind = "transaction"
 
     def __init__(self, trace_length, pub_inputs, options, depth=15):
         super().__init__(trace_length, pub_inputs, options)

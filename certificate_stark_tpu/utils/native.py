@@ -36,6 +36,13 @@ def lib():
         L.f63_inv_vec.argtypes = [u64p, u64p, ctypes.c_size_t]
         u8p = ctypes.POINTER(ctypes.c_uint8)
         L.blake3_hash.argtypes = [u8p, ctypes.c_size_t, u8p]
+        L.rescue_chain_trace.argtypes = [u64p, ctypes.c_uint64, u64p]
+        L.eval_schnorr_air.argtypes = [u64p, u64p, u64p, u64p,
+                                       ctypes.c_uint64, u64p, ctypes.c_uint64]
+        L.eval_merkle_air.argtypes = [u64p, u64p, u64p, u64p, ctypes.c_uint64]
+        L.eval_transaction_air.argtypes = [u64p, u64p, u64p, u64p,
+                                           ctypes.c_uint64, u64p,
+                                           ctypes.c_uint64]
         _LIB = L
     return _LIB
 
@@ -68,6 +75,40 @@ def merge(d0, d1) -> tuple:
     out = np.empty(7, dtype=np.uint64)
     lib().rescue_merge(_p(a), _p(b), _p(out))
     return tuple(int(v) for v in out)
+
+
+_P = 4719772409484279809
+
+
+def _mont(x: int) -> int:
+    return (int(x) << 64) % _P
+
+
+def eval_air(kind: str, cur: np.ndarray, nxt: np.ndarray,
+             per: np.ndarray, n_out: int) -> np.ndarray:
+    """Native CPU constraint evaluation (native/air_eval.c).
+
+    cur/nxt: [w, B] and per: [n_per, B] Montgomery u64 (C-contiguous);
+    returns evals [n_out, B] Montgomery u64. kind: 'schnorr' |
+    'merkle_update' | 'transaction'."""
+    B = cur.shape[1]
+    cur = np.ascontiguousarray(cur, dtype=np.uint64)
+    nxt = np.ascontiguousarray(nxt, dtype=np.uint64)
+    per = np.ascontiguousarray(per, dtype=np.uint64)
+    out = np.empty((n_out, B), dtype=np.uint64)
+    L = lib()
+    if kind == "merkle_update":
+        L.eval_merkle_air(_p(cur), _p(nxt), _p(per), _p(out),
+                          ctypes.c_uint64(B))
+        return out
+    from ..models.schnorr import _gen12
+    from . import curve as CV
+    assert all(v == 0 for v in CV.B3_LIMBS[1:]), "native eval needs scalar b3"
+    gen = np.asarray([_mont(v) for v in _gen12()], dtype=np.uint64)
+    b3m = ctypes.c_uint64(_mont(CV.B3_LIMBS[0]))
+    fn = L.eval_schnorr_air if kind == "schnorr" else L.eval_transaction_air
+    fn(_p(cur), _p(nxt), _p(per), _p(out), ctypes.c_uint64(B), _p(gen), b3m)
+    return out
 
 
 def chain_trace(seed7, length: int) -> np.ndarray:

@@ -1,0 +1,490 @@
+/* CPU-fallback constraint evaluators for the schnorr / merkle-update /
+ * composed-transaction AIRs.
+ *
+ * The TPU compute path for constraint evaluation is the fused JAX kernel
+ * (models/*.py evaluate_transition).  Off-TPU, XLA:CPU executes the EC-heavy
+ * graphs one small op at a time (~100x away from scalar-code speed), so the
+ * prover substitutes this native evaluator when running on the CPU backend
+ * (engine/prover.py gates it; bit-identical outputs are asserted in tests).
+ *
+ * Everything operates on Montgomery-form u64 (R = 2^64), matching the device
+ * limb arrays after pack_u64.  The formula sequences mirror the Python
+ * evaluators, which mirror reference src/utils/ecc.rs, src/utils/rescue.rs,
+ * src/merkle/update/air.rs, src/schnorr/air.rs, src/air.rs.
+ */
+#include <stdint.h>
+#include <stddef.h>
+
+typedef unsigned __int128 u128;
+typedef uint64_t u64;
+
+static const u64 P = 4719772409484279809ULL;
+static const u64 NPRIME = 0x417fffffffffffffULL;   /* -p^-1 mod 2^64 */
+static const u64 R2 = 3635333122111952146ULL;      /* 2^128 mod p */
+static const u64 ONE_M = 4287426845256712189ULL;   /* 2^64 mod p (Mont 1) */
+
+#include "rescue_tables.h"
+
+static inline u64 madd(u64 a, u64 b) { u64 s = a + b; return s >= P ? s - P : s; }
+static inline u64 msub(u64 a, u64 b) { return a >= b ? a - b : a + (P - b); }
+static inline u64 mdbl(u64 a) { return madd(a, a); }
+
+static inline u64 mmul(u64 a, u64 b) {
+    u128 t = (u128)a * b;
+    u64 m = (u64)t * NPRIME;
+    u128 u = (t + (u128)m * P) >> 64;
+    u64 r = (u64)u;
+    return r >= P ? r - P : r;
+}
+
+/* Montgomery MDS tables, converted once from the standard-form header */
+static u64 MDS_M[196], INV_MDS_M[196];
+static int air_tables_ready = 0;
+void air_eval_init(void) {
+    if (air_tables_ready) return;
+    for (int i = 0; i < 196; i++) {
+        MDS_M[i] = mmul(RESCUE_MDS[i] % P, R2);
+        INV_MDS_M[i] = mmul(RESCUE_INV_MDS[i] % P, R2);
+    }
+    air_tables_ready = 1;
+}
+
+/* ---- rescue round constraint (models/constraints.py rescue_enforce_round,
+ * reference rescue.rs:269-300) ------------------------------------------- */
+static void rescue_enforce(const u64 *cur, const u64 *nxt,
+                           const u64 *ark0, const u64 *ark1, u64 *out) {
+    u64 s1[14], s2[14], t[14];
+    for (int i = 0; i < 14; i++) s1[i] = mmul(cur[i], mmul(cur[i], cur[i]));
+    for (int i = 0; i < 14; i++) {
+        u64 acc = 0;
+        for (int j = 0; j < 14; j++) acc = madd(acc, mmul(MDS_M[i * 14 + j], s1[j]));
+        t[i] = madd(acc, ark0[i]);
+    }
+    for (int i = 0; i < 14; i++) s2[i] = msub(nxt[i], ark1[i]);
+    for (int i = 0; i < 14; i++) {
+        u64 acc = 0;
+        for (int j = 0; j < 14; j++) acc = madd(acc, mmul(INV_MDS_M[i * 14 + j], s2[j]));
+        u64 x = acc;
+        out[i] = msub(mmul(x, mmul(x, x)), t[i]);
+    }
+}
+
+/* ---- fp2 / fp6 tower (ops/ecc.py, reference ecc.rs:424-548) ------------ */
+static inline void f2mul(const u64 *a, const u64 *b, u64 *c) {
+    u64 u = mmul(a[0], b[0]);
+    u64 v = mmul(a[1], b[1]);
+    u64 w = mmul(msub(a[0], a[1]), msub(b[1], b[0]));
+    u64 c0 = madd(u, mdbl(v));
+    c[0] = c0;
+    c[1] = madd(madd(v, c0), w);
+}
+
+static void f6mul(const u64 *a, const u64 *b, u64 *c) {
+    u64 aa[2], bb[2], cc[2], ab[2], ac[2], bc[2], x[2], y[2];
+    f2mul(a, b, aa);
+    f2mul(a + 2, b + 2, bb);
+    f2mul(a + 4, b + 4, cc);
+    x[0] = madd(a[0], a[2]); x[1] = madd(a[1], a[3]);
+    y[0] = madd(b[0], b[2]); y[1] = madd(b[1], b[3]);
+    f2mul(x, y, ab);
+    x[0] = madd(a[0], a[4]); x[1] = madd(a[1], a[5]);
+    y[0] = madd(b[0], b[4]); y[1] = madd(b[1], b[5]);
+    f2mul(x, y, ac);
+    x[0] = madd(a[2], a[4]); x[1] = madd(a[3], a[5]);
+    y[0] = madd(b[2], b[4]); y[1] = madd(b[3], b[5]);
+    f2mul(x, y, bc);
+    for (int j = 0; j < 2; j++) {
+        u64 tmp = madd(madd(aa[j], bb[j]), cc[j]);
+        c[j] = msub(tmp, bc[j]);
+        c[2 + j] = msub(msub(ab[j], bc[j]), aa[j]);
+        c[4 + j] = madd(msub(msub(ac[j], tmp), cc[j]), mdbl(bb[j]));
+    }
+}
+
+static inline void f6add(const u64 *a, const u64 *b, u64 *c) {
+    for (int i = 0; i < 6; i++) c[i] = madd(a[i], b[i]);
+}
+static inline void f6sub(const u64 *a, const u64 *b, u64 *c) {
+    for (int i = 0; i < 6; i++) c[i] = msub(a[i], b[i]);
+}
+static inline void f6dbl_ip(u64 *a) { for (int i = 0; i < 6; i++) a[i] = mdbl(a[i]); }
+static inline void f6scal(const u64 *a, u64 s, u64 *c) {
+    for (int i = 0; i < 6; i++) c[i] = mmul(a[i], s);
+}
+
+/* ---- EC ops on projective points [X||Y||Z] (ops/ecc.py compute_*,
+ * reference ecc.rs:73-172; b3 is a base-subfield scalar) ------------------ */
+static void ec_double(const u64 *pt, u64 b3, u64 *o) {
+    const u64 *x = pt, *y = pt + 6, *z = pt + 12;
+    u64 t0[6], t1[6], t2[6], t3[6], x3[6], y3[6], z3[6], tm[6];
+    f6mul(x, x, t0);
+    f6mul(y, y, t1);
+    f6mul(z, z, t2);
+    f6mul(x, y, t3); f6dbl_ip(t3);
+    f6mul(x, z, z3); f6dbl_ip(z3);
+    f6scal(t2, b3, y3);
+    f6add(z3, y3, y3);
+    f6sub(t1, y3, x3);
+    f6add(t1, y3, y3);
+    f6mul(x3, y3, y3);
+    f6mul(t3, x3, x3);
+    f6scal(z3, b3, z3);
+    f6sub(t0, t2, t3);
+    f6add(t3, z3, t3);
+    for (int i = 0; i < 6; i++) tm[i] = mdbl(t0[i]);   /* z3 = 2 t0 */
+    f6add(tm, t0, t0);
+    f6add(t0, t2, t0);
+    f6mul(t0, t3, t0);
+    f6add(y3, t0, y3);
+    f6mul(y, z, t2); f6dbl_ip(t2);
+    f6mul(t2, t3, t0);
+    f6sub(x3, t0, x3);
+    f6mul(t2, t1, z3); f6dbl_ip(z3); f6dbl_ip(z3);
+    for (int i = 0; i < 6; i++) { o[i] = x3[i]; o[6 + i] = y3[i]; o[12 + i] = z3[i]; }
+}
+
+static void ec_add_mixed(const u64 *pt1, const u64 *pt2, u64 b3, u64 *o) {
+    const u64 *x1 = pt1, *y1 = pt1 + 6, *z1 = pt1 + 12;
+    const u64 *x2 = pt2, *y2 = pt2 + 6;
+    u64 t0[6], t1[6], t2[6], t3[6], t4[6], t5[6], x3[6], y3[6], z3[6], a[6], b[6];
+    f6mul(x1, x2, t0);
+    f6mul(y1, y2, t1);
+    f6add(x2, y2, a); f6add(x1, y1, b);
+    f6mul(a, b, t3);
+    f6add(t0, t1, a);
+    f6sub(t3, a, t3);
+    f6mul(x2, z1, t4); f6add(t4, x1, t4);
+    f6mul(y2, z1, t5); f6add(t5, y1, t5);
+    f6scal(z1, b3, x3);
+    f6add(x3, t4, z3);
+    f6sub(t1, z3, x3);
+    f6add(t1, z3, z3);
+    f6mul(x3, z3, y3);
+    for (int i = 0; i < 6; i++) t1[i] = madd(mdbl(t0[i]), t0[i]);
+    f6scal(t4, b3, t4);
+    f6add(t1, z1, t1);
+    f6sub(t0, z1, t2);
+    f6add(t4, t2, t4);
+    f6mul(t1, t4, t0);
+    f6add(y3, t0, y3);
+    f6mul(t5, t4, t0);
+    f6mul(t3, x3, a);
+    f6sub(a, t0, x3);
+    f6mul(t3, t1, t0);
+    f6mul(t5, z3, a);
+    f6add(a, t0, z3);
+    for (int i = 0; i < 6; i++) { o[i] = x3[i]; o[6 + i] = y3[i]; o[12 + i] = z3[i]; }
+}
+
+static void ec_add(const u64 *pt1, const u64 *pt2, u64 b3, u64 *o) {
+    const u64 *x1 = pt1, *y1 = pt1 + 6, *z1 = pt1 + 12;
+    const u64 *x2 = pt2, *y2 = pt2 + 6, *z2 = pt2 + 12;
+    u64 t0[6], t1[6], t2[6], t3[6], t4[6], t5[6], x3[6], y3[6], z3[6], a[6], b[6];
+    f6mul(x1, x2, t0);
+    f6mul(y1, y2, t1);
+    f6mul(z1, z2, t2);
+    f6add(x1, y1, a); f6add(x2, y2, b);
+    f6mul(a, b, t3);
+    f6add(t0, t1, a); f6sub(t3, a, t3);
+    f6add(x1, z1, a); f6add(x2, z2, b);
+    f6mul(a, b, t4);
+    f6add(t0, t2, a); f6sub(t4, a, t4);
+    f6add(y1, z1, a); f6add(y2, z2, b);
+    f6mul(a, b, t5);
+    f6add(t1, t2, a); f6sub(t5, a, t5);
+    f6scal(t2, b3, x3);
+    f6add(x3, t4, z3);
+    f6sub(t1, z3, x3);
+    f6add(t1, z3, z3);
+    f6mul(x3, z3, y3);
+    for (int i = 0; i < 6; i++) t1[i] = madd(mdbl(t0[i]), t0[i]);
+    f6scal(t4, b3, t4);
+    f6add(t1, t2, t1);
+    f6sub(t0, t2, t2);
+    f6add(t4, t2, t4);
+    f6mul(t1, t4, t0);
+    f6add(y3, t0, y3);
+    f6mul(t5, t4, t0);
+    f6mul(t3, x3, a);
+    f6sub(a, t0, x3);
+    f6mul(t3, t1, t0);
+    f6mul(t5, z3, a);
+    f6add(a, t0, z3);
+    for (int i = 0; i < 6; i++) { o[i] = x3[i]; o[6 + i] = y3[i]; o[12 + i] = z3[i]; }
+}
+
+/* ---- shared schnorr constraint block (models/schnorr.py evaluate_schnorr,
+ * reference schnorr/air.rs:394-531) -------------------------------------- */
+static void schnorr_block(const u64 *cur, const u64 *nxt,
+                          const u64 *ark0, const u64 *ark1,
+                          u64 doubling, u64 addition,
+                          const u64 *digest_flags,  /* 4 */
+                          const u64 *pkey,          /* 12 (affine) */
+                          u64 final_flag, u64 hash_flag, u64 copy_hash,
+                          const u64 *internal,      /* 7 */
+                          const u64 *gen12,         /* 12 (affine G) */
+                          u64 b3, u64 *res) {
+    u64 tmp18[18], added[18];
+    /* points 1 (s*G) and 2 (h*P): doubling + conditional mixed add */
+    for (int c = 0; c < 2; c++) {
+        int off = c == 0 ? 0 : 19;
+        const u64 *pt2 = c == 0 ? gen12 : pkey;
+        u64 bit = cur[off + 18];
+        u64 nbit = msub(ONE_M, bit);
+        ec_double(cur + off, b3, tmp18);
+        ec_add_mixed(cur + off, pt2, b3, added);
+        for (int i = 0; i < 18; i++) {
+            u64 dbl_eq = mmul(msub(nxt[off + i], tmp18[i]), doubling);
+            u64 expect = madd(mmul(added[i], bit), mmul(cur[off + i], nbit));
+            u64 add_eq = mmul(msub(nxt[off + i], expect), addition);
+            res[off + i] = madd(res[off + i], madd(dbl_eq, add_eq));
+        }
+        u64 binc = mmul(msub(mmul(bit, bit), bit), doubling);
+        u64 bitcopy = mmul(msub(cur[off + 18], nxt[off + 18]), addition);
+        res[off + 18] = madd(res[off + 18], madd(binc, bitcopy));
+    }
+    /* final S + h.P with affine-x reduction (slots 0..18) */
+    ec_add(cur, cur + 19, b3, added);
+    u64 xz[6];
+    f6mul(nxt, added + 12, xz);
+    for (int i = 0; i < 6; i++)
+        res[i] = madd(res[i], mmul(msub(xz[i], added[i]), final_flag));
+    for (int i = 6; i < 18; i++)
+        res[i] = madd(res[i], mmul(msub(nxt[i], added[i]), final_flag));
+    /* h-limb accumulators (slots 38..42) */
+    u64 hbit = nxt[37];
+    for (int i = 0; i < 4; i++) {
+        int vp = 41 - i;
+        u64 acc = msub(nxt[vp], madd(mdbl(cur[vp]), hbit));
+        res[vp] = madd(res[vp], mmul(acc, mmul(digest_flags[i], doubling)));
+        u64 cp = msub(cur[vp], nxt[vp]);
+        res[vp] = madd(res[vp],
+                       mmul(cp, mmul(msub(ONE_M, digest_flags[i]), doubling)));
+    }
+    for (int i = 0; i < 4; i++) {
+        u64 cp = msub(cur[38 + i], nxt[38 + i]);
+        res[38 + i] = madd(res[38 + i], mmul(cp, addition));
+        u64 eq = msub(cur[38 + i], cur[42 + i]);
+        res[38 + i] = madd(res[38 + i], mmul(eq, final_flag));
+    }
+    /* hash rows (slots 42..56) */
+    u64 rc[14];
+    rescue_enforce(cur + 42, nxt + 42, ark0, ark1, rc);
+    for (int i = 0; i < 14; i++)
+        res[42 + i] = madd(res[42 + i], mmul(rc[i], hash_flag));
+    for (int i = 0; i < 7; i++) {
+        res[42 + i] = madd(res[42 + i],
+                           mmul(msub(cur[42 + i], nxt[42 + i]), copy_hash));
+        res[49 + i] = madd(res[49 + i],
+                           mmul(msub(nxt[49 + i], internal[i]), copy_hash));
+    }
+}
+
+/* ---- merkle-update blocks (models/merkle_update.py, update/air.rs) ------ */
+static void merkle_setup_values(const u64 *cur, u64 setup, u64 *res) {
+    /* S_INIT=0 S_UPD=15 R_INIT=29 R_UPD=44; slots 65..92 */
+    for (int i = 0; i < 12; i++) {
+        res[65 + i] = madd(res[65 + i], mmul(msub(cur[0 + i], cur[15 + i]), setup));
+        res[77 + i] = madd(res[77 + i], mmul(msub(cur[29 + i], cur[44 + i]), setup));
+    }
+    res[89] = madd(res[89], mmul(msub(cur[29 + 13], cur[44 + 13]), setup));
+    u64 bal = msub(msub(cur[12], cur[15 + 12]), msub(cur[44 + 12], cur[29 + 12]));
+    res[90] = madd(res[90], mmul(bal, setup));
+    u64 nonce = msub(cur[15 + 13], madd(cur[13], ONE_M));
+    res[91] = madd(res[91], mmul(nonce, setup));
+}
+
+static void merkle_auth(const u64 *cur, const u64 *nxt,
+                        const u64 *ark0, const u64 *ark1,
+                        u64 tx_hash, u64 hash_input, u64 finish, u64 hash_flag,
+                        u64 *res) {
+    u64 not_finish = msub(ONE_M, finish);
+    u64 not_input = msub(ONE_M, madd(hash_flag, hash_input));
+    u64 copy_flag = mmul(tx_hash, not_input);
+    u64 init_flag = mmul(tx_hash, hash_input);
+    u64 rc[14];
+    static const int res_base[2] = {0, 29}, tr_base[2] = {0, 29},
+                     bit_pos[2] = {14, 43};
+    for (int c = 0; c < 2; c++) {
+        u64 bit = nxt[bit_pos[c]];
+        u64 nbit = msub(ONE_M, bit);
+        res[res_base[c] + 14] = madd(res[res_base[c] + 14],
+                                     mmul(msub(mmul(bit, bit), bit), tx_hash));
+        for (int half = 0; half < 2; half++) {
+            int roff = half * 15, reg = tr_base[c] + half * 15;
+            rescue_enforce(cur + reg, nxt + reg, ark0, ark1, rc);
+            for (int i = 0; i < 14; i++)
+                res[res_base[c] + roff + i] =
+                    madd(res[res_base[c] + roff + i], mmul(rc[i], hash_flag));
+            for (int i = 0; i < 7; i++) {
+                u64 cp = mmul(msub(cur[reg + i], nxt[reg + i]), copy_flag);
+                u64 ini = mmul(mmul(msub(cur[reg + i], nxt[reg + i]), nbit),
+                               init_flag);
+                u64 mv = mmul(mmul(msub(cur[reg + i], nxt[reg + 7 + i]), bit),
+                              init_flag);
+                res[res_base[c] + roff + i] =
+                    madd(res[res_base[c] + roff + i], madd(cp, ini));
+                res[res_base[c] + roff + 7 + i] =
+                    madd(res[res_base[c] + roff + 7 + i], mv);
+            }
+        }
+        for (int i = 0; i < 7; i++) {
+            u64 sib_lo = mmul(mmul(msub(nxt[tr_base[c] + 15 + i],
+                                        nxt[tr_base[c] + i]), bit), init_flag);
+            u64 sib_hi = mmul(mmul(msub(nxt[tr_base[c] + 22 + i],
+                                        nxt[tr_base[c] + 7 + i]), nbit),
+                              init_flag);
+            res[res_base[c] + i] = madd(res[res_base[c] + i], sib_lo);
+            res[res_base[c] + 7 + i] = madd(res[res_base[c] + 7 + i], sib_hi);
+        }
+    }
+    for (int i = 0; i < 7; i++) {
+        u64 keep = mmul(msub(nxt[58 + i], cur[58 + i]), not_finish);
+        u64 load = mmul(msub(nxt[58 + i], nxt[44 + i]), finish);
+        res[58 + i] = madd(res[58 + i], madd(keep, load));
+    }
+    /* intermediate-root equality (92..99) / prev-root match (99..106) */
+    for (int i = 0; i < 7; i++) {
+        u64 int_eq = mmul(msub(cur[15 + i], cur[29 + i]), finish);
+        u64 pm = mmul(msub(nxt[i], cur[58 + i]), finish);
+        res[92 + i] = madd(res[92 + i], int_eq);
+        res[99 + i] = madd(res[99 + i], pm);
+    }
+}
+
+/* =========================== exported evaluators =========================
+ * Layouts: column-major-per-row arrays [ncols][B] (row i of column c at
+ * c*B + i); all values Montgomery u64.  out zero-initialised here.        */
+
+#define COL(arr, c) ((arr) + (size_t)(c) * B)
+
+void eval_schnorr_air(const u64 *cur, const u64 *nxt, const u64 *per,
+                      u64 *out, u64 B, const u64 *gen12m, u64 b3m) {
+    air_eval_init();
+#pragma omp parallel for schedule(static)
+    for (size_t i = 0; i < B; i++) {
+        u64 c[56], n[56], p[55], res[56] = {0};
+        for (int k = 0; k < 56; k++) { c[k] = COL(cur, k)[i]; n[k] = COL(nxt, k)[i]; }
+        for (int k = 0; k < 55; k++) p[k] = COL(per, k)[i];
+        u64 global_mask = p[0], scalar_flag = p[1], doubling = p[2];
+        const u64 *digest_flags = p + 3;
+        const u64 *pkey = p + 7;
+        u64 hash_flag = p[19];
+        const u64 *internal = p + 20;
+        const u64 *ark0 = p + 27, *ark1 = p + 41;
+        u64 copy_hash = mmul(msub(ONE_M, hash_flag), global_mask);
+        u64 final_flag = mmul(msub(ONE_M, scalar_flag), global_mask);
+        u64 addition = mmul(msub(ONE_M, doubling), scalar_flag);
+        schnorr_block(c, n, ark0, ark1, doubling, addition, digest_flags,
+                      pkey, final_flag, hash_flag, copy_hash, internal,
+                      gen12m, b3m, res);
+        for (int k = 0; k < 56; k++) COL(out, k)[i] = res[k];
+    }
+}
+
+void eval_merkle_air(const u64 *cur, const u64 *nxt, const u64 *per,
+                     u64 *out, u64 B) {
+    air_eval_init();
+#pragma omp parallel for schedule(static)
+    for (size_t i = 0; i < B; i++) {
+        u64 c[65], n[65], p[33], res[106] = {0};
+        for (int k = 0; k < 65; k++) { c[k] = COL(cur, k)[i]; n[k] = COL(nxt, k)[i]; }
+        for (int k = 0; k < 33; k++) p[k] = COL(per, k)[i];
+        merkle_setup_values(c, p[0], res);
+        merkle_auth(c, n, p + 5, p + 19, p[1], p[2], p[3], p[4], res);
+        for (int k = 0; k < 106; k++) COL(out, k)[i] = res[k];
+    }
+}
+
+void eval_transaction_air(const u64 *cur, const u64 *nxt, const u64 *per,
+                          u64 *out, u64 B, const u64 *gen12m, u64 b3m) {
+    air_eval_init();
+#pragma omp parallel for schedule(static)
+    for (size_t i = 0; i < B; i++) {
+        u64 c[94], n[94], p[48], res[115] = {0};
+        for (int k = 0; k < 94; k++) { c[k] = COL(cur, k)[i]; n[k] = COL(nxt, k)[i]; }
+        for (int k = 0; k < 48; k++) p[k] = COL(per, k)[i];
+        u64 setup = p[0], merkle_mask = p[1], hash_input = p[2], finish = p[3],
+            hash_mask = p[4], schnorr_mask = p[5], scalar_mult = p[6],
+            doubling = p[7];
+        const u64 *digest_flags = p + 8;
+        u64 schnorr_hash = p[12];
+        const u64 *internal_flags = p + 13;
+        u64 range_step = p[17], range_finish = p[18], value_copy = p[19];
+        const u64 *ark0 = p + 20, *ark1 = p + 34;
+
+        u64 copy_hash = mmul(msub(ONE_M, schnorr_hash), schnorr_mask);
+        u64 final_flag = mmul(msub(ONE_M, scalar_mult), schnorr_mask);
+        u64 addition = mmul(msub(ONE_M, doubling), scalar_mult);
+        u64 rc[14];
+
+        /* 1. merkle-init rounds at setup (slots 0..56) */
+        static const int init_map[4][2] = {{0, 0}, {14, 15}, {28, 29}, {42, 44}};
+        for (int m = 0; m < 4; m++) {
+            rescue_enforce(c + init_map[m][1], n + init_map[m][1], ark0, ark1, rc);
+            for (int k = 0; k < 14; k++)
+                res[init_map[m][0] + k] =
+                    madd(res[init_map[m][0] + k], mmul(rc[k], setup));
+        }
+        /* 2. setup value constraints (slots 65..92) */
+        merkle_setup_values(c, setup, res);
+        /* 3. key/delta/sigma/nonce copies (slots 101..108) */
+        static const int key_map[2][3] = {{101, 0, 65}, {103, 29, 77}};
+        for (int m = 0; m < 2; m++) {
+            int res_idx = key_map[m][0], origin = key_map[m][1],
+                cp_pos = key_map[m][2];
+            for (int k = 0; k < 12; k++) {
+                u64 st = mmul(msub(n[cp_pos + k], c[origin + k]), setup);
+                u64 cp = mmul(msub(n[cp_pos + k], c[cp_pos + k]), value_copy);
+                res[res_idx + k] = madd(res[res_idx + k], madd(st, cp));
+            }
+        }
+        u64 delta_src = msub(c[12], c[15 + 12]);
+        res[105] = madd(res[105], mmul(msub(n[89], delta_src), setup));
+        res[106] = madd(res[106], mmul(msub(n[90], c[15 + 12]), setup));
+        res[107] = madd(res[107], mmul(msub(n[91], c[13]), setup));
+        static const int cp_map[3][2] = {{105, 89}, {106, 90}, {107, 91}};
+        for (int m = 0; m < 3; m++)
+            res[cp_map[m][0]] = madd(res[cp_map[m][0]],
+                mmul(msub(n[cp_map[m][1]], c[cp_map[m][1]]), value_copy));
+        /* 4. merkle auth (slots 0..65) */
+        merkle_auth(c, n, ark0, ark1, merkle_mask, hash_input, finish,
+                    hash_mask, res);
+        /* 5. schnorr with copy-register pkey + hash internal inputs */
+        const u64 *pkey = n + 65;
+        u64 internal[7];
+        u64 srcs[4][7];
+        for (int j = 0; j < 7; j++) srcs[0][j] = n[65 + j];
+        for (int j = 0; j < 5; j++) srcs[1][j] = n[72 + j];
+        srcs[1][5] = n[77]; srcs[1][6] = n[78];
+        for (int j = 0; j < 7; j++) srcs[2][j] = n[79 + j];
+        srcs[3][0] = n[86]; srcs[3][1] = n[87]; srcs[3][2] = n[88];
+        srcs[3][3] = n[89]; srcs[3][4] = n[91]; srcs[3][5] = 0; srcs[3][6] = 0;
+        for (int j = 0; j < 7; j++) {
+            u64 acc = 0;
+            for (int k = 0; k < 4; k++)
+                acc = madd(acc, mmul(srcs[k][j], internal_flags[k]));
+            internal[j] = acc;
+        }
+        schnorr_block(c, n, ark0, ark1, doubling, addition, digest_flags,
+                      pkey, final_flag, schnorr_hash, copy_hash, internal,
+                      gen12m, b3m, res);
+        /* 6. range proofs on delta and sigma */
+        static const int rng_map[2][2] = {{57, 56}, {93, 92}};
+        for (int m = 0; m < 2; m++) {
+            int acc_p = rng_map[m][0], bit_p = rng_map[m][1];
+            u64 bit = n[bit_p];
+            u64 acc = msub(n[acc_p], madd(mdbl(c[acc_p]), bit));
+            res[acc_p] = madd(res[acc_p], mmul(acc, range_step));
+            res[bit_p] = madd(res[bit_p],
+                              mmul(msub(mmul(bit, bit), bit), range_step));
+        }
+        /* endpoint equalities — the reference's sigma bug replicated:
+           both compare the DELTA registers (air.rs:605-609) */
+        u64 delta_eq = msub(n[57], n[89]);
+        res[108] = madd(res[108], mmul(delta_eq, range_finish));
+        res[109] = madd(res[109], mmul(delta_eq, range_finish));
+
+        for (int k = 0; k < 115; k++) COL(out, k)[i] = res[k];
+    }
+}
