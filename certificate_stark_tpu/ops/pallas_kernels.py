@@ -30,22 +30,13 @@ import numpy as np
 # scalar literals — pallas kernels cannot capture constant ARRAYS, and
 # F.mul/pow_const materialize NPRIME/P/ONE as np arrays. F.add/_cond_sub_p
 # use only scalar literals and are safe to call directly.
-_NP_L = [np.uint32(int(x)) for x in F.NPRIME_LIMBS]
-_P_L = [np.uint32(int(x)) for x in F.P_LIMBS]
 
 
 def _k_mul(a, b):
+    # structured-modulus REDC (F._redc): scalar literals only, pallas-safe
     t = F._mul_wide_t(a, b, jnp)
-    m, _ = F._mul_wide([t[i] for i in range(4)], _NP_L, 4)
-    mp, _ = F._mul_wide(m, _P_L, 8)
-    carry = np.uint32(0)
-    out = []
-    for k in range(8):
-        s = t[k] + mp[k] + carry
-        carry = s >> 16
-        if k >= 4:
-            out.append(s & F.MASK16)
-    return jnp.stack(F._cond_sub_p(out), axis=0)
+    u = F._redc([t[k] for k in range(8)], jnp)
+    return jnp.stack(F._cond_sub_p(u[:4]), axis=0)
 
 
 def _k_pow(a, e: int):
