@@ -501,16 +501,17 @@ def eq_mask(a, b):
     return m
 
 
-# uint64 <-> limb packing (host-side convenience; faster than object arrays)
+# uint64 <-> limb packing (host-side). Limbs are 16-bit values in uint32 with
+# the limb axis leading, so pack/unpack are pure byte-layout reinterpretations
+# (uint16 view + axis move) — ~10x faster than shift/or chains at LDE sizes.
 def pack_u64(limbs: np.ndarray) -> np.ndarray:
     """(4, *S) uint32 limbs -> uint64 array of raw (Montgomery-domain) values."""
-    a = np.asarray(limbs, dtype=np.uint64)
-    return a[0] | (a[1] << np.uint64(16)) | (a[2] << np.uint64(32)) | (a[3] << np.uint64(48))
+    a = np.asarray(limbs)
+    b = np.ascontiguousarray(np.moveaxis(a.astype(np.uint16), 0, -1))
+    return b.view(np.uint64)[..., 0]
 
 
 def unpack_u64(vals: np.ndarray) -> np.ndarray:
-    v = np.asarray(vals, dtype=np.uint64)
-    out = np.empty((NLIMB,) + v.shape, dtype=np.uint32)
-    for i in range(NLIMB):
-        out[i] = ((v >> np.uint64(16 * i)) & np.uint64(0xFFFF)).astype(np.uint32)
-    return out
+    v = np.ascontiguousarray(np.asarray(vals, dtype=np.uint64))
+    half = v.reshape(v.shape + (1,)).view(np.uint16)      # (*S, 4) LE limbs
+    return np.moveaxis(half, -1, 0).astype(np.uint32)
