@@ -13,7 +13,10 @@ def get_example(name: str, size: int = 2, options=None, **kwargs):
     'merkle-update', 'schnorr', or 'transaction' (the composed
     state-transition AIR). `size` = chain length / value / #txs / #sigs."""
     from ..engine.options import ProofOptions
-    opts = options or ProofOptions()
+    # reference get_example defaults: (42, 8, 0, Blake3, None, 4, 256)
+    # (src/lib.rs:78-86); ProofOptions itself defaults to the algebraic
+    # rescue hasher (DESIGN.md "Algebraic commitments by default")
+    opts = options or ProofOptions(hash_fn="blake3")
     if name == "rescue-chain":
         from . import rescue_chain as M
         return M.RescueChainExample(size, opts)
