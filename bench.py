@@ -71,6 +71,11 @@ def _cpu_retry():
     import subprocess
     env = dict(os.environ, BENCH_FORCE_CPU="1", JAX_PLATFORMS="cpu")
     env.pop("PALLAS_AXON_POOL_IPS", None)
+    flags = env.get("XLA_FLAGS", "")
+    if "concurrency_optimized" not in flags:  # ~6% on the CPU fallback
+        env["XLA_FLAGS"] = (flags +
+                            " --xla_cpu_enable_concurrency_optimized_scheduler"
+                            "=true").strip()
     sys.exit(subprocess.run([sys.executable, os.path.abspath(__file__)],
                             env=env).returncode)
 

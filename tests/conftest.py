@@ -15,6 +15,8 @@ if "parallel_codegen" not in flags:
     flags += " --xla_cpu_parallel_codegen_split_count=1"
 if "llvm_disable_expensive_passes" not in flags:
     flags += " --xla_llvm_disable_expensive_passes=true"
+if "concurrency_optimized" not in flags:
+    flags += " --xla_cpu_enable_concurrency_optimized_scheduler=true"
 os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
