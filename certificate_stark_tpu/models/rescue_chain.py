@@ -76,6 +76,7 @@ class RescueChainAir(Air):
 
     name = "rescue-chain"
     trace_width = TRACE_WIDTH
+    native_eval_kind = "rescue_chain"
 
     def __init__(self, trace_length, pub_inputs, options):
         super().__init__(trace_length, pub_inputs, options)

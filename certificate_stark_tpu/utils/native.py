@@ -40,6 +40,8 @@ def lib():
         L.eval_schnorr_air.argtypes = [u64p, u64p, u64p, u64p,
                                        ctypes.c_uint64, u64p, ctypes.c_uint64]
         L.eval_merkle_air.argtypes = [u64p, u64p, u64p, u64p, ctypes.c_uint64]
+        L.eval_rescue_chain_air.argtypes = [u64p, u64p, u64p, u64p,
+                                            ctypes.c_uint64]
         L.eval_transaction_air.argtypes = [u64p, u64p, u64p, u64p,
                                            ctypes.c_uint64, u64p,
                                            ctypes.c_uint64]
@@ -100,6 +102,10 @@ def eval_air(kind: str, cur: np.ndarray, nxt: np.ndarray,
     if kind == "merkle_update":
         L.eval_merkle_air(_p(cur), _p(nxt), _p(per), _p(out),
                           ctypes.c_uint64(B))
+        return out
+    if kind == "rescue_chain":
+        L.eval_rescue_chain_air(_p(cur), _p(nxt), _p(per), _p(out),
+                                ctypes.c_uint64(B))
         return out
     from ..models.schnorr import _gen12
     from . import curve as CV

@@ -382,6 +382,27 @@ void eval_schnorr_air(const u64 *cur, const u64 *nxt, const u64 *per,
     }
 }
 
+/* rescue hash-chain AIR (models/rescue_chain.py evaluate_transition):
+ * per = [hash flag, ark0(14), ark1(14)]; 14 slots. */
+void eval_rescue_chain_air(const u64 *cur, const u64 *nxt, const u64 *per,
+                           u64 *out, u64 B) {
+    air_eval_init();
+#pragma omp parallel for schedule(static)
+    for (size_t i = 0; i < B; i++) {
+        u64 c[14], n[14], p[29], rc[14];
+        for (int k = 0; k < 14; k++) { c[k] = COL(cur, k)[i]; n[k] = COL(nxt, k)[i]; }
+        for (int k = 0; k < 29; k++) p[k] = COL(per, k)[i];
+        u64 flag = p[0], nflag = msub(ONE_M, p[0]);
+        rescue_enforce(c, n, p + 1, p + 15, rc);
+        for (int k = 0; k < 7; k++) {
+            u64 copy = mmul(msub(n[k], c[k]), nflag);
+            COL(out, k)[i] = madd(mmul(rc[k], flag), copy);
+            COL(out, 7 + k)[i] = madd(mmul(rc[7 + k], flag),
+                                      mmul(n[7 + k], nflag));
+        }
+    }
+}
+
 void eval_merkle_air(const u64 *cur, const u64 *nxt, const u64 *per,
                      u64 *out, u64 B) {
     air_eval_init();

@@ -20,6 +20,12 @@ pytestmark = pytest.mark.skipif(not NAT.available(),
 
 
 def _case(kind):
+    if kind == "rescue_chain":
+        from certificate_stark_tpu.models import rescue_chain as M
+        opts = ProofOptions(num_queries=4, blowup=4, hash_fn="blake3")
+        ex = M.RescueChainExample(16, opts)
+        air = M.RescueChainAir(16 * 8, ex.pub_inputs(), opts)
+        return ex, air
     if kind == "schnorr":
         from certificate_stark_tpu.models import schnorr as M
         opts = ProofOptions(num_queries=4, blowup=8, hash_fn="blake3")
@@ -40,7 +46,8 @@ def _case(kind):
     return ex, air
 
 
-@pytest.mark.parametrize("kind", ["schnorr", "merkle_update", "transaction"])
+@pytest.mark.parametrize("kind", ["rescue_chain", "schnorr", "merkle_update",
+                                  "transaction"])
 def test_native_eval_bit_identical(kind):
     ex, air = _case(kind)
     p = PR.Prover(air)
