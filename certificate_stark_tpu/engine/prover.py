@@ -86,8 +86,30 @@ def eval_poly_dyn(coeffs: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
     return NTT.sum_reduce(F.mul(coeffs, jnp.broadcast_to(tbl, coeffs.shape)))
 
 
-def _commit(hasher, data):
+def _use_native_commit(hasher) -> bool:
+    """Batched C blake3 commit on the CPU backend (native/air_eval.c);
+    bit-identical to the device kernels. CSTARK_NATIVE_COMMIT=0 disables."""
+    import os
+    if os.environ.get("CSTARK_NATIVE_COMMIT", "1") == "0":
+        return False
+    if getattr(hasher, "name", "") != "blake3":
+        return False
+    try:
+        import jax as _jax
+        if _jax.default_backend() != "cpu":
+            return False
+        from ..utils import native as NAT
+        return NAT.available()
+    except Exception:  # noqa: BLE001
+        return False
+
+
+def _commit(hasher, data, native_ok: bool = True):
     """Hash columns + build Merkle levels with shape-cached kernels."""
+    if native_ok and _use_native_commit(hasher):
+        from ..utils import native as NAT
+        cols = F.pack_u64(np.asarray(data))
+        return NAT.blake3_commit_levels(cols)
     from . import kernels as K
     leaves = K.hash_columns_kernel(hasher, data.shape)(data)
     return K.tree_levels(hasher, leaves)
@@ -410,6 +432,7 @@ class Prover:
 
     def _make_fri_kernel(self, size, o, gw, fold):
         hasher = self.hasher
+        native_commit_ok = getattr(self, "allow_native_commit", True)
         d = self.d
 
         def commit_kernel(cur):
@@ -417,7 +440,7 @@ class Prover:
             # together, element-major (position outer, ext coord inner)
             group = cur.reshape(4, d, fold, size // fold)
             rows = group.transpose(0, 2, 1, 3).reshape(4, fold * d, size // fold)
-            return group, _commit(hasher, rows)
+            return group, _commit(hasher, rows, native_ok=native_commit_ok)
 
         from ..ops import extfield as XF
 
@@ -472,7 +495,8 @@ class Prover:
         else:
             trace_coeffs, lde = self.phase_trace(trace)
             tm.mark("trace LDE", lde)
-            t_levels = _commit(hasher, lde)
+            t_levels = _commit(hasher, lde,
+                               getattr(self, "allow_native_commit", True))
             if ck:
                 ck.save_levels("trace", {"trace_coeffs": trace_coeffs,
                                          "lde": lde}, t_levels)
@@ -507,7 +531,8 @@ class Prover:
                     else jnp.zeros((4, 0, self.bn), jnp.uint32), self._b_evals)
             tm.mark("constraint eval", h_lde)
             h_levels = _commit(
-                hasher, h_lde.transpose(0, 2, 1, 3).reshape(4, k * d, bn))
+                hasher, h_lde.transpose(0, 2, 1, 3).reshape(4, k * d, bn),
+                getattr(self, "allow_native_commit", True))
             if ck:
                 ck.save_levels("composition", {"h_coeffs": h_coeffs,
                                                "h_lde": h_lde}, h_levels)

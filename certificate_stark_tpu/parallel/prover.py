@@ -41,6 +41,8 @@ class ShardedProver(PRV.Prover):
     (and only) axis. The host-side protocol logic — coin, serialization,
     query opening — is inherited unchanged."""
 
+    allow_native_commit = False   # keep the sharded device commit path
+
     def __init__(self, air, mesh: Mesh | None = None, hasher=None):
         self.mesh = mesh if mesh is not None else make_mesh()
         (self.axis,) = self.mesh.axis_names

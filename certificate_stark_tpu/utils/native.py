@@ -37,6 +37,9 @@ def lib():
         u8p = ctypes.POINTER(ctypes.c_uint8)
         L.blake3_hash.argtypes = [u8p, ctypes.c_size_t, u8p]
         L.rescue_chain_trace.argtypes = [u64p, ctypes.c_uint64, u64p]
+        L.blake3_leaves.argtypes = [u64p, ctypes.c_uint64, ctypes.c_uint64,
+                                    u8p]
+        L.blake3_merge_level.argtypes = [u8p, ctypes.c_uint64, u8p]
         L.eval_schnorr_air.argtypes = [u64p, u64p, u64p, u64p,
                                        ctypes.c_uint64, u64p, ctypes.c_uint64]
         L.eval_merkle_air.argtypes = [u64p, u64p, u64p, u64p, ctypes.c_uint64]
@@ -115,6 +118,32 @@ def eval_air(kind: str, cur: np.ndarray, nxt: np.ndarray,
     fn = L.eval_schnorr_air if kind == "schnorr" else L.eval_transaction_air
     fn(_p(cur), _p(nxt), _p(per), _p(out), ctypes.c_uint64(B), _p(gen), b3m)
     return out
+
+
+def blake3_commit_levels(cols_mont: np.ndarray) -> list:
+    """Batched blake3 leaf hashing + full Merkle levels for Montgomery u64
+    columns [k, B]; returns levels as uint32-word arrays [8, m] (the device
+    hasher's layout, bit-identical)."""
+    import ctypes as ct
+    k, B = cols_mont.shape
+    cols = np.ascontiguousarray(cols_mont, dtype=np.uint64)
+    buf = np.empty(32 * B, dtype=np.uint8)
+    u8p = ct.POINTER(ct.c_uint8)
+    L = lib()
+    L.blake3_leaves(_p(cols), ct.c_uint64(k), ct.c_uint64(B),
+                    buf.ctypes.data_as(u8p))
+    levels = [np.ascontiguousarray(buf.view("<u4").reshape(B, 8).T)]
+    cur = buf
+    m = B
+    while m > 1:
+        nxt = np.empty(32 * (m // 2), dtype=np.uint8)
+        L.blake3_merge_level(cur.ctypes.data_as(u8p), ct.c_uint64(m),
+                             nxt.ctypes.data_as(u8p))
+        levels.append(np.ascontiguousarray(
+            nxt.view("<u4").reshape(m // 2, 8).T))
+        cur = nxt
+        m //= 2
+    return levels
 
 
 def chain_trace(seed7, length: int) -> np.ndarray:

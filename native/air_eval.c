@@ -382,6 +382,32 @@ void eval_schnorr_air(const u64 *cur, const u64 *nxt, const u64 *per,
     }
 }
 
+/* ---- batched BLAKE3 commitment path (engine/hasher.py Blake3Hasher):
+ * leaf = blake3(k elements, 8-byte LE standard form); merge = blake3(d0||d1).
+ * blake3_hash lives in f63.c (same shared object). ------------------------ */
+extern void blake3_hash(const unsigned char *data, size_t len,
+                        unsigned char *out32);
+
+void blake3_leaves(const u64 *cols_mont, u64 ncols, u64 B,
+                   unsigned char *out /* 32*B */) {
+#pragma omp parallel for schedule(static)
+    for (size_t i = 0; i < B; i++) {
+        unsigned char buf[8 * 256];
+        for (size_t c = 0; c < ncols && c < 256; c++) {
+            u64 v = mmul(cols_mont[c * B + i], 1);   /* Montgomery -> std */
+            for (int j = 0; j < 8; j++) buf[c * 8 + j] = (v >> (8 * j)) & 0xff;
+        }
+        blake3_hash(buf, (size_t)ncols * 8, out + 32 * i);
+    }
+}
+
+void blake3_merge_level(const unsigned char *digests /* 32B x m */, u64 m,
+                        unsigned char *out /* 32B x m/2 */) {
+#pragma omp parallel for schedule(static)
+    for (size_t i = 0; i < m / 2; i++)
+        blake3_hash(digests + 64 * i, 64, out + 32 * i);
+}
+
 /* rescue hash-chain AIR (models/rescue_chain.py evaluate_transition):
  * per = [hash flag, ark0(14), ark1(14)]; 14 slots. */
 void eval_rescue_chain_air(const u64 *cur, const u64 *nxt, const u64 *per,
