@@ -145,6 +145,7 @@ class Prover:
         self.assertions = air.assertions()
         self._periodic = air.periodic_lde(self.b, self.offset)
         self._native_kind = self._pick_native_eval()
+        self._native_ntt = self._pick_native_ntt()
         self._periodic_u64 = None
         key = self._cache_key()
         if key not in _PHASE_CACHE:
@@ -197,6 +198,32 @@ class Prover:
         except Exception:  # noqa: BLE001
             return None
         return kind
+
+    def _pick_native_ntt(self):
+        """Use the native C NTT (native/ntt.c) for the trace LDE on the CPU
+        backend; the JAX transform (ops/ntt.py) is the TPU production path.
+        Disable with CSTARK_NATIVE_NTT=0."""
+        import os
+        if type(self) is not Prover:
+            return False         # sharded prover: keep the device path
+        if os.environ.get("CSTARK_NATIVE_NTT", "1") == "0":
+            return False
+        try:
+            import jax as _jax
+            if _jax.default_backend() != "cpu":
+                return False
+            from ..utils import native as NAT
+            return NAT.available()
+        except Exception:  # noqa: BLE001
+            return False
+
+    def _native_lde(self, trace):
+        """Host-side fused trace LDE -> (coeffs [4,w,n], lde [4,w,bn])."""
+        from ..utils import native as NAT
+        tr_u = F.pack_u64(np.asarray(trace))
+        cf_u, lde_u = NAT.lde_batch(tr_u, self.b, self.offset)
+        return (jnp.asarray(F.unpack_u64(cf_u)),
+                jnp.asarray(F.unpack_u64(lde_u)))
 
     def _native_evals(self, lde):
         """Host-side constraint evaluation -> stacked evals [4, C, bn]."""
@@ -493,7 +520,10 @@ class Prover:
             lde = jnp.asarray(data["lde"])
             t_levels = [jnp.asarray(x) for x in ck.unpack_levels(data)]
         else:
-            trace_coeffs, lde = self.phase_trace(trace)
+            if self._native_ntt:
+                trace_coeffs, lde = self._native_lde(trace)
+            else:
+                trace_coeffs, lde = self.phase_trace(trace)
             tm.mark("trace LDE", lde)
             t_levels = _commit(hasher, lde,
                                getattr(self, "allow_native_commit", True))

@@ -48,6 +48,10 @@ def lib():
         L.eval_transaction_air.argtypes = [u64p, u64p, u64p, u64p,
                                            ctypes.c_uint64, u64p,
                                            ctypes.c_uint64]
+        L.f63_ntt_batch.argtypes = [u64p] + [ctypes.c_uint64] * 4
+        L.f63_coset_scale_batch.argtypes = [u64p] + [ctypes.c_uint64] * 3
+        L.f63_lde_batch.argtypes = [u64p] + [ctypes.c_uint64] * 6 + [u64p, u64p]
+        L.f63_intt_coset_batch.argtypes = [u64p] + [ctypes.c_uint64] * 4
         _LIB = L
     return _LIB
 
@@ -118,6 +122,52 @@ def eval_air(kind: str, cur: np.ndarray, nxt: np.ndarray,
     fn = L.eval_schnorr_air if kind == "schnorr" else L.eval_transaction_air
     fn(_p(cur), _p(nxt), _p(per), _p(out), ctypes.c_uint64(B), _p(gen), b3m)
     return out
+
+
+def _root_of_unity(n: int) -> int:
+    from ..ops import field as F
+    return pow(F.GENERATOR, (_P - 1) // n, _P)
+
+
+def ntt_batch(data: np.ndarray, inverse: bool = False) -> np.ndarray:
+    """Batched NTT along the last axis of a Montgomery-u64 array [..., n]
+    (native/ntt.c; bit-identical to ops/ntt.py ntt)."""
+    n = data.shape[-1]
+    out = np.ascontiguousarray(data, dtype=np.uint64).reshape(-1, n).copy()
+    root = _root_of_unity(n)
+    ninv = 0
+    if inverse:
+        root = pow(root, _P - 2, _P)
+        ninv = pow(n, _P - 2, _P)
+    lib().f63_ntt_batch(_p(out), out.shape[0], n,
+                        ctypes.c_uint64(root), ctypes.c_uint64(ninv))
+    return out.reshape(data.shape)
+
+
+def lde_batch(evals: np.ndarray, blowup: int, offset: int):
+    """Fused trace LDE (iNTT + coset scale + padded NTT) for Montgomery-u64
+    rows [..., n] -> (coeffs [..., n], lde [..., blowup*n])."""
+    n = evals.shape[-1]
+    flat = np.ascontiguousarray(evals, dtype=np.uint64).reshape(-1, n)
+    w = flat.shape[0]
+    coeffs = np.empty((w, n), dtype=np.uint64)
+    out = np.empty((w, blowup * n), dtype=np.uint64)
+    lib().f63_lde_batch(_p(flat), w, n, blowup,
+                        ctypes.c_uint64(_root_of_unity(n)),
+                        ctypes.c_uint64(_root_of_unity(blowup * n)),
+                        ctypes.c_uint64(offset), _p(coeffs), _p(out))
+    return (coeffs.reshape(evals.shape),
+            out.reshape(evals.shape[:-1] + (blowup * n,)))
+
+
+def intt_coset_batch(data: np.ndarray, offset: int) -> np.ndarray:
+    """Evaluations over the size-n offset-coset -> coefficients [..., n]."""
+    n = data.shape[-1]
+    out = np.ascontiguousarray(data, dtype=np.uint64).reshape(-1, n).copy()
+    lib().f63_intt_coset_batch(_p(out), out.shape[0], n,
+                               ctypes.c_uint64(_root_of_unity(n)),
+                               ctypes.c_uint64(offset))
+    return out.reshape(data.shape)
 
 
 def blake3_commit_levels(cols_mont: np.ndarray) -> list:
