@@ -123,7 +123,8 @@ _PHASE_CACHE = {}
 
 
 _PHASE_ATTRS = ("phase_trace", "phase_composition", "phase_composition_pre",
-                "phase_ood", "phase_deep", "_fri_kernels", "_b_struct")
+                "phase_ood", "phase_deep", "_fri_kernels", "_b_struct",
+                "_nt", "_fri_native")
 
 
 class Prover:
@@ -165,11 +166,15 @@ class Prover:
         assert [t.key for t in tables] == [g["key"] for g in self._b_struct], \
             "assertion structure differs across instances of the same AIR shape"
         self._b_evals = tuple(jnp.asarray(t.b_evals) for t in tables)
+        self._b_ev_u = (np.concatenate(
+            [F.pack_u64(np.asarray(t.b_evals)) for t in tables], axis=0)
+            if tables else np.zeros((0, self.bn), dtype=np.uint64))
 
     def _cache_key(self):
         return (type(self).__name__, type(self.air).__name__, self.n, self.w,
                 repr(self.opts), self.hasher.name,
-                getattr(self.air, "depth", None), self._native_kind)
+                getattr(self.air, "depth", None), self._native_kind,
+                self._native_ntt)
 
     def _pick_native_eval(self):
         """Use the native C constraint evaluator (native/air_eval.c) on the
@@ -225,16 +230,67 @@ class Prover:
         return (jnp.asarray(F.unpack_u64(cf_u)),
                 jnp.asarray(F.unpack_u64(lde_u)))
 
-    def _native_evals(self, lde):
-        """Host-side constraint evaluation -> stacked evals [4, C, bn]."""
+    def _native_evals_u64(self, lde_u):
+        """Host-side constraint evaluation -> stacked evals [C, bn] u64."""
         from ..utils import native as NAT
-        lde_u = F.pack_u64(np.asarray(lde))
         nxt_u = np.roll(lde_u, -self.b, axis=-1)
         if self._periodic_u64 is None:
             self._periodic_u64 = F.pack_u64(self._periodic)
-        out = NAT.eval_air(self._native_kind, lde_u, nxt_u,
-                           self._periodic_u64, len(self.degrees))
-        return jnp.asarray(F.unpack_u64(out))
+        return NAT.eval_air(self._native_kind, lde_u, nxt_u,
+                            self._periodic_u64, len(self.degrees))
+
+    def _native_evals(self, lde):
+        """Host-side constraint evaluation -> stacked evals [4, C, bn]."""
+        lde_u = F.pack_u64(np.asarray(lde))
+        return jnp.asarray(F.unpack_u64(self._native_evals_u64(lde_u)))
+
+    def _native_compose(self, evals_u, lde_u, t_alpha, t_beta,
+                        b_alpha, b_beta):
+        """Native composition polynomial (native/deep_compose.c f63_compose
+        + intt/LDE legs) -> (h_coeffs [d,k,n] u64, h_lde [d,k,bn] u64)."""
+        from ..utils import native as NAT
+        nt, d, k, n = self._nt, self.d, self.k, self.n
+        ta = np.ascontiguousarray(F.pack_u64(np.asarray(t_alpha)))
+        tb = np.ascontiguousarray(F.pack_u64(np.asarray(t_beta)))
+        cidx = nt["b_cidx"]
+        ba = np.ascontiguousarray(F.pack_u64(np.asarray(b_alpha))[cidx])
+        bb = np.ascontiguousarray(F.pack_u64(np.asarray(b_beta))[cidx])
+        comp = NAT.compose_batch(evals_u, d, ta, tb, nt["t_adj"], nt["xpow"],
+                                 nt["zt_inv"], lde_u, nt["b_col"],
+                                 self._b_ev_u, ba, bb, nt["b_start"],
+                                 nt["b_xpow"], nt["b_invz"])
+        cf = NAT.intt_coset_batch(comp, self.offset)
+        h_cf = np.ascontiguousarray(
+            cf[:, :k * n].reshape(d, n, k).transpose(0, 2, 1))
+        h_lde_u = NAT.coeffs_lde_batch(h_cf.reshape(d * k, n), self.b,
+                                       self.offset).reshape(d, k, self.bn)
+        return h_cf, h_lde_u
+
+    @staticmethod
+    def _mont_vec(ints) -> np.ndarray:
+        return np.array([(int(x) << 64) % F.P for x in ints], dtype=np.uint64)
+
+    def _native_deep(self, lde_u, h_u, z_ints, ood_z_l, ood_zg_l, ood_h_l,
+                     g_z, g_zg, g_h):
+        """Native DEEP composition -> [4, d, bn] limbs."""
+        from ..utils import native as NAT
+        from ..ops import extfield as XF
+        d, k, w = self.d, self.k, self.w
+        zg_i = [(int(z) * self.g_trace) % F.P for z in z_ints]
+        zk_i = list(z_ints)
+        for _ in range(k.bit_length() - 1):
+            zk_i = XF.host_ext_mul(zk_i, zk_i, d)
+        deep = NAT.deep_batch(
+            lde_u, d, h_u, k, self._nt["xs"],
+            self._mont_vec(z_ints), self._mont_vec(zg_i),
+            self._mont_vec(zk_i),
+            np.ascontiguousarray(F.pack_u64(np.asarray(ood_z_l))),
+            np.ascontiguousarray(F.pack_u64(np.asarray(ood_zg_l))),
+            np.ascontiguousarray(F.pack_u64(np.asarray(ood_h_l))),
+            np.ascontiguousarray(F.pack_u64(np.asarray(g_z)).T),
+            np.ascontiguousarray(F.pack_u64(np.asarray(g_zg)).T),
+            np.ascontiguousarray(F.pack_u64(np.asarray(g_h)).T))
+        return jnp.asarray(F.unpack_u64(deep))
 
     # -- big-domain transform builders (overridden by the sharded prover) ---
     def _make_lde_big(self):
@@ -447,8 +503,37 @@ class Prover:
         self.phase_ood = phase_ood
         self.phase_deep = phase_deep
 
+        # u64-packed protocol tables for the native CPU compose/DEEP kernels
+        # (native/deep_compose.c); pure functions of the AIR shape, so cached
+        # with the phase kernels. Harmless to build when unused.
+        adj_order = sorted(xpow)
+        self._nt = {
+            "xs": F.pack_u64(xs),
+            "zt_inv": F.pack_u64(zt_inv),
+            "xpow": np.ascontiguousarray(
+                np.stack([F.pack_u64(xpow[a]) for a in adj_order])),
+            "t_adj": np.array([adj_order.index(a) for a in t_adjs],
+                              dtype=np.uint32),
+            "b_col": np.concatenate(
+                [np.asarray(g["columns"], dtype=np.uint32)
+                 for g in b_struct]) if b_struct else
+                np.zeros(0, dtype=np.uint32),
+            "b_cidx": np.concatenate(
+                [g["coeff_idx"] for g in b_struct]) if b_struct else
+                np.zeros(0, dtype=np.int32),
+            "b_start": np.cumsum(
+                [0] + [len(g["columns"]) for g in b_struct]).astype(np.uint32),
+            "b_xpow": np.ascontiguousarray(np.stack(
+                [F.pack_u64(xpow[g["adj"]]) for g in b_struct]))
+                if b_struct else np.zeros((0, bn), dtype=np.uint64),
+            "b_invz": np.ascontiguousarray(np.stack(
+                [F.pack_u64(np.asarray(g["inv_z"])) for g in b_struct]))
+                if b_struct else np.zeros((0, bn), dtype=np.uint64),
+        }
+
         # FRI layer kernels, one per layer size
         self._fri_kernels = {}
+        self._fri_native = {}
         fold = self.opts.fri_folding
         size, o, gw = bn, offset, gen_big
         while size > self.opts.fri_max_remainder:
@@ -479,6 +564,27 @@ class Prover:
                 folded = FRI.fold2_ext(folded, xi2,
                                        pow(o, 2, F.P), pow(gw, 2, F.P), d)
             return folded
+
+        if getattr(self, "_native_ntt", False):
+            invxs1 = np.ascontiguousarray(
+                F.pack_u64(FRI._inv_xs_table(o, gw, size // 2)))
+            invxs2 = np.ascontiguousarray(F.pack_u64(FRI._inv_xs_table(
+                pow(o, 2, F.P), pow(gw, 2, F.P), size // 4))) \
+                if fold == 4 else None
+
+            def fold_native(cur, xi_ints):
+                from ..utils import native as NAT
+                cur_u = np.ascontiguousarray(
+                    F.pack_u64(np.asarray(cur)).reshape(d, size))
+                out = NAT.fri_fold2(cur_u, self._mont_vec(xi_ints), invxs1)
+                if fold == 4:
+                    xi2 = XF.host_ext_mul([int(x) for x in xi_ints],
+                                          [int(x) for x in xi_ints], d)
+                    out = NAT.fri_fold2(out, self._mont_vec(xi2), invxs2)
+                return jnp.asarray(F.unpack_u64(
+                    out.reshape(d, size // fold)))
+
+            self._fri_native[size] = fold_native
 
         return commit_kernel, fold_kernel
 
@@ -532,6 +638,8 @@ class Prover:
                                          "lde": lde}, t_levels)
         trace_tree = M.MerkleTree.from_levels(hasher, t_levels)
         tm.mark("trace commit", trace_tree.levels[-1])
+        lde_u = (F.pack_u64(np.asarray(lde))
+                 if (self._native_ntt or self._native_kind) else None)
 
         coin = RandomCoin(hasher, opts.context_elements(w, n)
                           + air.pub_inputs_elements())
@@ -549,7 +657,13 @@ class Prover:
             h_lde = jnp.asarray(data["h_lde"])
             h_levels = [jnp.asarray(x) for x in ck.unpack_levels(data)]
         else:
-            if self._native_kind:
+            if self._native_kind and self._native_ntt:
+                evals_u = self._native_evals_u64(lde_u)
+                h_cf_u, h_lde_u = self._native_compose(
+                    evals_u, lde_u, t_alpha, t_beta, b_alpha, b_beta)
+                h_coeffs = jnp.asarray(F.unpack_u64(h_cf_u))
+                h_lde = jnp.asarray(F.unpack_u64(h_lde_u))
+            elif self._native_kind:
                 evals = self._native_evals(lde)
                 h_coeffs, h_lde = self.phase_composition_pre(
                     evals, lde, t_alpha, t_beta, b_alpha, b_beta,
@@ -571,7 +685,8 @@ class Prover:
         tm.mark("composition commit", h_tree.levels[-1])
         coin.reseed(h_tree.root())
 
-        z = jnp.asarray(F.from_int(np.array(coin.draw_felts(d), dtype=object)))
+        z_ints = coin.draw_felts(d)
+        z = jnp.asarray(F.from_int(np.array(z_ints, dtype=object)))
         data = ck.load("deep") if ck else None
         if data is not None:
             ood_z_l = jnp.asarray(data["ood_z"])
@@ -591,8 +706,14 @@ class Prover:
         if data is not None:
             deep = jnp.asarray(data["deep"])
         else:
-            deep = self.phase_deep(lde, h_lde, ood_z_l, ood_zg_l, ood_h_l,
-                                   g_z, g_zg, g_h, z)
+            if self._native_ntt:
+                h_u = np.ascontiguousarray(
+                    F.pack_u64(np.asarray(h_lde)).reshape(d * k, bn))
+                deep = self._native_deep(lde_u, h_u, z_ints, ood_z_l,
+                                         ood_zg_l, ood_h_l, g_z, g_zg, g_h)
+            else:
+                deep = self.phase_deep(lde, h_lde, ood_z_l, ood_zg_l, ood_h_l,
+                                       g_z, g_zg, g_h, z)
             if ck:
                 ck.save("deep", ood_z=ood_z_l, ood_zg=ood_zg_l,
                         ood_h=ood_h_l, deep=deep)
@@ -616,9 +737,13 @@ class Prover:
                     ck.save_levels(f"fri{li}", {"group": group}, levels)
             tree = M.MerkleTree.from_levels(hasher, levels)
             coin.reseed(tree.root())
-            xi = jnp.asarray(F.from_int(
-                np.array(coin.draw_felts(d), dtype=object)))
-            cur = fold_kernel(cur, xi)
+            xi_ints = coin.draw_felts(d)
+            fold_nat = self._fri_native.get(size)
+            if fold_nat is not None:
+                cur = fold_nat(cur, xi_ints)
+            else:
+                xi = jnp.asarray(F.from_int(np.array(xi_ints, dtype=object)))
+                cur = fold_kernel(cur, xi)
             fri_layers.append(FRI.FriLayer(tree, size, o, gw, group))
             size //= fold
             o = pow(o, fold, F.P)

@@ -42,9 +42,8 @@ def build_trace(seed, chain_length: int) -> jnp.ndarray:
     assert chain_length & (chain_length - 1) == 0
     from ..utils import native as NAT
     if NAT.available():
-        rows = NAT.chain_trace(list(seed), chain_length)   # [8L, 14] u64 std
-        limbs = F.unpack_u64(rows.T)                       # [4, 14, 8L]
-        return F.to_mont(jnp.asarray(limbs))
+        cols = NAT.chain_trace_mont(list(seed), chain_length)  # [14, 8L] Mont
+        return jnp.asarray(F.unpack_u64(cols))                 # [4, 14, 8L]
     d0 = jnp.asarray(F.from_int(np.array(list(seed), dtype=object)[:, None]))  # [4,7,1]
 
     def cycle(d, _):

@@ -37,6 +37,7 @@ def lib():
         u8p = ctypes.POINTER(ctypes.c_uint8)
         L.blake3_hash.argtypes = [u8p, ctypes.c_size_t, u8p]
         L.rescue_chain_trace.argtypes = [u64p, ctypes.c_uint64, u64p]
+        L.rescue_chain_trace_mont.argtypes = [u64p, ctypes.c_uint64, u64p]
         L.blake3_leaves.argtypes = [u64p, ctypes.c_uint64, ctypes.c_uint64,
                                     u8p]
         L.blake3_merge_level.argtypes = [u8p, ctypes.c_uint64, u8p]
@@ -52,6 +53,19 @@ def lib():
         L.f63_coset_scale_batch.argtypes = [u64p] + [ctypes.c_uint64] * 3
         L.f63_lde_batch.argtypes = [u64p] + [ctypes.c_uint64] * 6 + [u64p, u64p]
         L.f63_intt_coset_batch.argtypes = [u64p] + [ctypes.c_uint64] * 4
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        L.f63_compose.argtypes = [u64p, ctypes.c_uint64, ctypes.c_uint64,
+                                  ctypes.c_uint64, u64p, u64p, u32p, u64p,
+                                  u64p, u64p, u32p, u64p, u64p, u64p, u32p,
+                                  ctypes.c_uint64, u64p, u64p, u64p]
+        L.f63_deep.argtypes = ([u64p] + [ctypes.c_uint64] * 3 + [u64p,
+                               ctypes.c_uint64] + [u64p] * 10)
+        L.f63_coeffs_lde_batch.argtypes = [u64p] + [ctypes.c_uint64] * 5 + [u64p]
+        L.f63_fri_fold2.argtypes = [u64p, ctypes.c_uint64, ctypes.c_uint64,
+                                    u64p, u64p, u64p]
+        L.f63_ext_nr_mont.restype = ctypes.c_uint64
+        assert L.f63_ext_nr_mont() == (3 << 64) % _P, \
+            "native tower constants out of sync with params/extensions.py"
         _LIB = L
     return _LIB
 
@@ -170,6 +184,59 @@ def intt_coset_batch(data: np.ndarray, offset: int) -> np.ndarray:
     return out.reshape(data.shape)
 
 
+def _u32p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
+
+
+def coeffs_lde_batch(coeffs: np.ndarray, blowup: int, offset: int):
+    """Coefficient rows [..., n] Montgomery -> coset evaluations [..., b*n]."""
+    n = coeffs.shape[-1]
+    flat = np.ascontiguousarray(coeffs, dtype=np.uint64).reshape(-1, n)
+    w = flat.shape[0]
+    out = np.empty((w, blowup * n), dtype=np.uint64)
+    lib().f63_coeffs_lde_batch(_p(flat), w, n, blowup,
+                               ctypes.c_uint64(_root_of_unity(blowup * n)),
+                               ctypes.c_uint64(offset), _p(out))
+    return out.reshape(coeffs.shape[:-1] + (blowup * n,))
+
+
+def compose_batch(evals, d, ta, tb, t_adj, xpow, zt_inv, lde,
+                  b_col, b_ev, ba, bb, b_start, b_xpow, b_invz) -> np.ndarray:
+    """Composition polynomial over the LDE domain (native/deep_compose.c
+    f63_compose); all arrays Montgomery u64, C-contiguous. Returns [d, bn]."""
+    C, bn = evals.shape
+    G = b_xpow.shape[0]
+    comp = np.empty((d, bn), dtype=np.uint64)
+    lib().f63_compose(_p(evals), C, bn, d, _p(ta), _p(tb), _u32p(t_adj),
+                      _p(xpow), _p(zt_inv), _p(lde), _u32p(b_col), _p(b_ev),
+                      _p(ba), _p(bb), _u32p(b_start), G, _p(b_xpow),
+                      _p(b_invz), _p(comp))
+    return comp
+
+
+def deep_batch(lde, d, h, k, xs, z, zg, zk, ood_z, ood_zg, ood_h,
+               g_z, g_zg, g_h) -> np.ndarray:
+    """DEEP composition over the LDE domain (native/deep_compose.c f63_deep).
+    lde [w, bn]; h [d*k, bn] (coordinate-outer); ood_* coordinate-outer
+    [d, w]/[d, k]; g_* element-outer [w, d]/[k, d]. Returns [d, bn]."""
+    w, bn = lde.shape
+    deep = np.empty((d, bn), dtype=np.uint64)
+    lib().f63_deep(_p(lde), w, bn, d, _p(h), k, _p(xs), _p(z), _p(zg),
+                   _p(zk), _p(ood_z), _p(ood_zg), _p(ood_h), _p(g_z),
+                   _p(g_zg), _p(g_h), _p(deep))
+    return deep
+
+
+def fri_fold2(cur: np.ndarray, xi: np.ndarray, invxs: np.ndarray) -> np.ndarray:
+    """One radix-2 FRI fold (native/deep_compose.c f63_fri_fold2).
+    cur [d, n] coordinate-outer Montgomery; xi [d]; invxs [n/2]. -> [d, n/2]"""
+    d, n = cur.shape
+    out = np.empty((d, n // 2), dtype=np.uint64)
+    lib().f63_fri_fold2(_p(np.ascontiguousarray(cur)), d, n, _p(xi),
+                        _p(invxs), _p(out))
+    return out
+
+
 def blake3_commit_levels(cols_mont: np.ndarray) -> list:
     """Batched blake3 leaf hashing + full Merkle levels for Montgomery u64
     columns [k, B]; returns levels as uint32-word arrays [8, m] (the device
@@ -203,6 +270,15 @@ def chain_trace(seed7, length: int) -> np.ndarray:
     out = np.empty(length * 8 * 14, dtype=np.uint64)
     lib().rescue_chain_trace(_p(s), length, _p(out))
     return out.reshape(length * 8, 14)
+
+
+def chain_trace_mont(seed7, length: int) -> np.ndarray:
+    """Rescue hash-chain trace, column-major Montgomery [14, length*8]
+    (native/air_eval.c rescue_chain_trace_mont) — the limb-view-ready layout."""
+    s = _arr(seed7)
+    out = np.empty((14, length * 8), dtype=np.uint64)
+    lib().rescue_chain_trace_mont(_p(s), length, _p(out))
+    return out
 
 
 def blake3(data: bytes) -> bytes:

@@ -38,7 +38,7 @@ static inline u64 mmul(u64 a, u64 b) {
 }
 
 /* Montgomery MDS tables, converted once from the standard-form header */
-static u64 MDS_M[196], INV_MDS_M[196];
+static u64 MDS_M[196], INV_MDS_M[196], ARK_M[8][28];
 static int air_tables_ready = 0;
 void air_eval_init(void) {
     if (air_tables_ready) return;
@@ -46,6 +46,9 @@ void air_eval_init(void) {
         MDS_M[i] = mmul(RESCUE_MDS[i] % P, R2);
         INV_MDS_M[i] = mmul(RESCUE_INV_MDS[i] % P, R2);
     }
+    for (int r = 0; r < 8; r++)
+        for (int i = 0; i < 28; i++)
+            ARK_M[r][i] = mmul(RESCUE_ARK[r][i] % P, R2);
     air_tables_ready = 1;
 }
 
@@ -533,5 +536,53 @@ void eval_transaction_air(const u64 *cur, const u64 *nxt, const u64 *per,
         res[109] = madd(res[109], mmul(delta_eq, range_finish));
 
         for (int k = 0; k < 115; k++) COL(out, k)[i] = res[k];
+    }
+}
+
+/* ---- Montgomery rescue hash-chain trace (the reference bench workload,
+ * benches/rescue.rs) -- like f63.c rescue_chain_trace but (a) all-Montgomery
+ * arithmetic (~2x on the x^INV_ALPHA exponentiations) and (b) COLUMN-major
+ * output [14][8*length] in Montgomery form, ready for the limb view
+ * (ops/field.py unpack_u64) with no further transpose or device multiply. */
+static const u64 CHAIN_INV_ALPHA = 3146514939656186539ULL;
+
+static u64 mpow_m(u64 a, u64 e) {
+    u64 r = ONE_M;
+    while (e) {
+        if (e & 1) r = mmul(r, a);
+        a = mmul(a, a);
+        e >>= 1;
+    }
+    return r;
+}
+
+void rescue_chain_trace_mont(const u64 *seed7, u64 length, u64 *out) {
+    air_eval_init();
+    u64 st[14], tmp[14];
+    u64 rows = length * 8;
+    for (int j = 0; j < 7; j++) st[j] = mmul(seed7[j] % P, R2);
+    for (u64 k = 0; k < length; k++) {
+        for (int j = 7; j < 14; j++) st[j] = 0;
+        u64 base = k * 8;
+        for (int j = 0; j < 14; j++) out[j * rows + base] = st[j];
+        for (int r = 0; r < 7; r++) {
+            const u64 *ark = ARK_M[r];
+            for (int i = 0; i < 14; i++) st[i] = mmul(st[i], mmul(st[i], st[i]));
+            for (int i = 0; i < 14; i++) {
+                u64 acc = 0;
+                for (int j = 0; j < 14; j++)
+                    acc = madd(acc, mmul(MDS_M[i * 14 + j], st[j]));
+                tmp[i] = madd(acc, ark[i]);
+            }
+            for (int i = 0; i < 14; i++) st[i] = mpow_m(tmp[i], CHAIN_INV_ALPHA);
+            for (int i = 0; i < 14; i++) {
+                u64 acc = 0;
+                for (int j = 0; j < 14; j++)
+                    acc = madd(acc, mmul(MDS_M[i * 14 + j], st[j]));
+                tmp[i] = madd(acc, ark[14 + i]);
+            }
+            for (int i = 0; i < 14; i++) st[i] = tmp[i];
+            for (int j = 0; j < 14; j++) out[j * rows + base + r + 1] = st[j];
+        }
     }
 }

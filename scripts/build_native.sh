@@ -20,5 +20,5 @@ with open("native/rescue_tables.h", "w") as f:
     f.write("};\n")
 print("wrote native/rescue_tables.h")
 EOF
-gcc -O3 -march=native -fopenmp -shared -fPIC -o native/libf63.so native/f63.c native/air_eval.c native/ntt.c
+gcc -O3 -march=native -fopenmp -shared -fPIC -o native/libf63.so native/f63.c native/air_eval.c native/ntt.c native/deep_compose.c
 echo "built native/libf63.so"
