@@ -145,16 +145,26 @@ class Air:
         column poly is p(x^(n/t)), which has period blowup*t on the coset.
         Returns a concrete numpy limb array (compile-time constant)."""
         from ..utils import poly_host as PH
+        from ..utils import native as NAT
         cols = self.periodic_columns()
         if cols is None:
             return None
         n = self.trace_length
+        native = NAT.available()
         arrs = []
         for col in np.asarray(cols, dtype=object):
             t = len(col)
-            coeffs = PH.intt([int(v) % F.P for v in col])
             o = pow(offset, n // t, F.P)
-            scaled = [c * pow(o, i, F.P) % F.P for i, c in enumerate(coeffs)]
-            ext = PH.ntt(scaled + [0] * ((blowup - 1) * t))
-            arrs.append(np.tile(F.from_int(np.array(ext, dtype=object)), n // t))
+            if native and blowup * t >= 256:  # tiny cycles: host is cheaper
+                u = F.pack_u64(F.from_int(
+                    np.array([int(v) % F.P for v in col], dtype=object)
+                    .reshape(1, t)))
+                ext_l = F.unpack_u64(NAT.lde_batch(u, blowup, o)[1][0])
+            else:
+                coeffs = PH.intt([int(v) % F.P for v in col])
+                scaled = [c * pow(o, i, F.P) % F.P
+                          for i, c in enumerate(coeffs)]
+                ext = PH.ntt(scaled + [0] * ((blowup - 1) * t))
+                ext_l = F.from_int(np.array(ext, dtype=object))
+            arrs.append(np.tile(ext_l, n // t))
         return np.stack(arrs, axis=1)

@@ -41,18 +41,28 @@ def _divisor_inv(n, bn, offset, g_trace, m, first, xs):
     o_m = pow(offset, m, F.P)
     period = bn // m if m <= bn else 1
     # x_j^m = o^m * wm^j has period `period` in j
-    vals = []
-    cur = o_m
-    for _ in range(period):
-        vals.append(pow((cur - c) % F.P, F.P - 2, F.P))
-        cur = cur * wm % F.P
-    arr = F.from_int(np.array(vals, dtype=object))
+    from ..utils import native as NAT
+    if NAT.available() and period >= 64:
+        pts = F.mul_const(F.np_powers(wm, period), F.np_const(o_m), np)
+        cc = np.broadcast_to(F.np_const(c).reshape(4, 1), (4, period))
+        arr = F.unpack_u64(NAT.batch_inv(F.pack_u64(F.sub(pts, cc, np))))
+    else:
+        vals = []
+        cur = o_m
+        for _ in range(period):
+            vals.append(pow((cur - c) % F.P, F.P - 2, F.P))
+            cur = cur * wm % F.P
+        arr = F.from_int(np.array(vals, dtype=object))
     return np.tile(arr, bn // period)
 
 
 def _single_inv(bn, g_trace, step, xs):
     pt = np.broadcast_to(F.np_const(pow(g_trace, step, F.P)).reshape(4, 1), (4, bn))
-    return F.inv(F.sub(xs, pt, np), xp=np)
+    diff = F.sub(xs, pt, np)
+    from ..utils import native as NAT
+    if NAT.available():                      # batch inversion: 3 muls/elt
+        return F.unpack_u64(NAT.batch_inv(F.pack_u64(diff)))
+    return F.inv(diff, xp=np)
 
 
 def _sequence_evals(n, bn, offset, g_trace, first, T, values):
@@ -62,11 +72,15 @@ def _sequence_evals(n, bn, offset, g_trace, first, T, values):
     assert len(q) == m
     # B(x) = q(x * g^-first): evaluate q on the coset (offset * g^-first)*<w_bn>
     shift = offset * pow(pow(g_trace, first, F.P), F.P - 2, F.P) % F.P
+    # evals at shift*w^j: since q has m coeffs, values have period bn... full
+    # NTT. The shift is folded into the coefficients (scaled by shift^i), so a
+    # plain size-bn NTT of the padded coefficients yields q(shift * w_bn^j).
+    from ..utils import native as NAT
+    if NAT.available():
+        cf = F.pack_u64(F.from_int(np.array(q, dtype=object)).reshape(4, 1, m))
+        return F.unpack_u64(NAT.coeffs_lde_batch(cf, bn // m, shift)[0])
     scaled = [c * pow(shift, i, F.P) % F.P for i, c in enumerate(q)]
-    # evals at shift*w^j: since q has m coeffs, values have period bn... full NTT
     ext = PH.ntt(scaled + [0] * (bn - m))
-    # NOTE: NTT evaluates sum c_i y^i at y = w_bn^j with the shift folded into
-    # coefficients; that yields q(shift * w^j) only if we scaled by shift^i ✓
     return F.from_int(np.array(ext, dtype=object))
 
 
@@ -88,6 +102,24 @@ def quotient_degree(key, n):
     return n - 1 - m
 
 
+# divisor-inverse tables depend only on the assertion *structure* (divisor),
+# never on public-input values, so they are shared across prover instances
+_INVZ_CACHE = {}
+
+
+def _invz_for(key, n, bn, offset, g_trace, xs):
+    ck = (key, n, bn, offset)
+    r = _INVZ_CACHE.get(ck)
+    if r is None:
+        if key[0] == "s":
+            r = _single_inv(bn, g_trace, key[1], xs)
+        else:
+            m = n // key[2]
+            r = _divisor_inv(n, bn, offset, g_trace, m, key[1], xs)
+        _INVZ_CACHE[ck] = r
+    return r
+
+
 def build_boundary_tables(assertions, n, bn, blowup, offset, g_trace,
                           comp_deg, xs):
     """Precompute per-group tables (host numpy)."""
@@ -103,11 +135,7 @@ def build_boundary_tables(assertions, n, bn, blowup, offset, g_trace,
                 evs.append(np.broadcast_to(
                     F.np_const(a.value % F.P).reshape(4, 1), (4, bn)))
         b_evals = np.stack(evs, axis=1)  # [4, g, bn]
-        if key[0] == "s":
-            inv_z = _single_inv(bn, g_trace, key[1], xs)
-        else:
-            m = n // key[2]
-            inv_z = _divisor_inv(n, bn, offset, g_trace, m, key[1], xs)
+        inv_z = _invz_for(key, n, bn, offset, g_trace, xs)
         out.append(BoundaryGroup(key=key, columns=cols, b_evals=b_evals,
                                  inv_z=inv_z,
                                  adj=comp_deg - quotient_degree(key, n),

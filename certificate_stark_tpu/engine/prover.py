@@ -127,6 +127,19 @@ _PHASE_ATTRS = ("phase_trace", "phase_composition", "phase_composition_pre",
                 "_nt", "_fri_native")
 
 
+_XS_CACHE = {}
+
+
+def _domain_xs(gen_big, bn, offset):
+    """LDE-domain points offset*gen^j as a host limb array; instance-free."""
+    key = (gen_big, bn, offset)
+    r = _XS_CACHE.get(key)
+    if r is None:
+        r = F.mul_const(F.np_powers(gen_big, bn), F.np_const(offset), np)
+        _XS_CACHE[key] = r
+    return r
+
+
 class Prover:
     def __init__(self, air, hasher=None):
         self.air = air
@@ -158,8 +171,7 @@ class Prover:
         # per-instance (pub-input-dependent) boundary value evaluations,
         # ordered to match the cached group structure
         from .boundary import build_boundary_tables
-        xs = F.mul_const(F.np_powers(self.gen_big, self.bn),
-                         F.np_const(self.offset), np)
+        xs = _domain_xs(self.gen_big, self.bn, self.offset)
         tables = build_boundary_tables(self.assertions, self.n, self.bn, self.b,
                                        self.offset, self.g_trace,
                                        self.k * self.n - 1, xs)
@@ -326,7 +338,7 @@ class Prover:
         # ---- host-numpy protocol tables (concrete jit constants) ----------
         t_adjs = [comp_deg - (d.poly_degree(n) - (n - 1)) for d in self.degrees]
 
-        xs = F.mul_const(F.np_powers(gen_big, bn), F.np_const(offset), np)
+        xs = _domain_xs(gen_big, bn, offset)
         # transition zerofier inverse: (x^n-1) has `b` distinct coset values
         w_b = PH.root_of_unity(bn)
         o_n = pow(offset, n, F.P)

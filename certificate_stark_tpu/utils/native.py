@@ -63,6 +63,7 @@ def lib():
         L.f63_coeffs_lde_batch.argtypes = [u64p] + [ctypes.c_uint64] * 5 + [u64p]
         L.f63_fri_fold2.argtypes = [u64p, ctypes.c_uint64, ctypes.c_uint64,
                                     u64p, u64p, u64p]
+        L.f63_batch_inv.argtypes = [u64p, ctypes.c_uint64, u64p]
         L.f63_ext_nr_mont.restype = ctypes.c_uint64
         assert L.f63_ext_nr_mont() == (3 << 64) % _P, \
             "native tower constants out of sync with params/extensions.py"
@@ -235,6 +236,14 @@ def fri_fold2(cur: np.ndarray, xi: np.ndarray, invxs: np.ndarray) -> np.ndarray:
     lib().f63_fri_fold2(_p(np.ascontiguousarray(cur)), d, n, _p(xi),
                         _p(invxs), _p(out))
     return out
+
+
+def batch_inv(a: np.ndarray) -> np.ndarray:
+    """Montgomery batch inversion of a u64 Montgomery array (any shape)."""
+    flat = np.ascontiguousarray(a, dtype=np.uint64).reshape(-1)
+    out = np.empty_like(flat)
+    lib().f63_batch_inv(_p(flat), flat.size, _p(out))
+    return out.reshape(a.shape)
 
 
 def blake3_commit_levels(cols_mont: np.ndarray) -> list:

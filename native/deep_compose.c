@@ -341,3 +341,21 @@ void f63_coeffs_lde_batch(const u64 *coeffs, u64 w, u64 n, u64 blowup,
     f63_coset_scale_batch(out, w, bn, offset_std);   /* opow beyond n hits 0s */
     f63_ntt_batch(out, w, bn, root_bn_std, 0);
 }
+
+/* ---- Montgomery batch inversion ----------------------------------------
+ * Inverse-divisor tables for boundary groups (engine/boundary.py) need
+ * 1/(x - c) over the whole LDE domain; one Fermat ladder per element on the
+ * numpy limb path costs ~250 vector muls.  Classic prefix-product batch
+ * inversion: 3 muls per element + one scalar inversion. */
+void f63_batch_inv(const u64 *a, u64 n, u64 *out) {
+    if (!n) return;
+    u64 *pre = (u64 *)malloc(n * sizeof(u64));
+    u64 acc = ONE_M;
+    for (u64 i = 0; i < n; i++) { pre[i] = acc; acc = mmul(acc, a[i]); }
+    u64 inv = minv(acc);
+    for (u64 i = n; i-- > 0;) {
+        out[i] = mmul(inv, pre[i]);
+        inv = mmul(inv, a[i]);
+    }
+    free(pre);
+}
