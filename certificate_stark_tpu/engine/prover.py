@@ -104,6 +104,26 @@ def _use_native_commit(hasher) -> bool:
         return False
 
 
+_GATHER_QUERY = None
+
+
+def _gather_query_data(lde, h_rows, groups, pos, leaf_idxs):
+    """All query-phase value gathers (trace+h rows, FRI group rows) fused into
+    a single jitted dispatch. jit caches per shape signature, so repeated
+    proofs of same-shape instances reuse the compiled kernel."""
+    global _GATHER_QUERY
+    if _GATHER_QUERY is None:
+        def g(lde_, h_rows_, groups_, pos_, leaf_idxs_):
+            rows = jnp.take(jnp.concatenate([lde_, h_rows_], axis=1),
+                            pos_, axis=-1)
+            fri = [jnp.take(
+                gr.transpose(0, 2, 1, 3).reshape(4, -1, gr.shape[-1]),
+                ix, axis=-1) for gr, ix in zip(groups_, leaf_idxs_)]
+            return rows, fri
+        _GATHER_QUERY = jax.jit(g)
+    return _GATHER_QUERY(lde, h_rows, list(groups), pos, list(leaf_idxs))
+
+
 def _commit(hasher, data, native_ok: bool = True):
     """Hash columns + build Merkle levels with shape-cached kernels."""
     if native_ok and _use_native_commit(hasher):
@@ -776,26 +796,28 @@ class Prover:
         tm.mark("grinding")
         positions = coin.draw_indices(opts.num_queries, bn)
 
-        lde_host = F.to_int(np.asarray(jnp.take(lde, jnp.asarray(positions), axis=-1)))
-        # h rows per query, element-major (m outer, coord inner) to match the
-        # committed row layout
-        h_host = F.to_int(np.asarray(
-            jnp.take(h_rows, jnp.asarray(positions), axis=-1)))   # [k*d, Q]
-        t_paths = trace_tree.prove_batch(positions)
-        h_paths = h_tree.prove_batch(positions)
-
-        # batched FRI openings: one gather per layer
-        layer_data = []
-        p_cur = list(positions)
+        # every opened value (trace + h rows, all FRI layer groups) in ONE
+        # jitted dispatch + ONE transfer, and every authentication path of
+        # every tree in one more — eager per-level/per-layer gathers cost a
+        # device roundtrip each (~2s of the warm proof on remote TPU backends)
+        leaf_idxs, p_cur = [], list(positions)
         for layer in fri_layers:
             quarter = layer.n // fold
-            leaf_idx = [p % quarter for p in p_cur]
-            grp_rows = layer.group.transpose(0, 2, 1, 3).reshape(
-                4, fold * d, quarter)
-            vals = F.to_int(np.asarray(
-                jnp.take(grp_rows, jnp.asarray(leaf_idx), axis=-1)))  # [fold*d, Q]
-            layer_data.append((leaf_idx, vals, layer.tree.prove_batch(leaf_idx)))
-            p_cur = leaf_idx
+            leaf_idxs.append([p % quarter for p in p_cur])
+            p_cur = leaf_idxs[-1]
+        rows_dev, fri_dev = _gather_query_data(
+            lde, h_rows, [l.group for l in fri_layers],
+            np.asarray(positions), [np.asarray(i) for i in leaf_idxs])
+        rows_host = F.to_int(np.asarray(rows_dev))
+        lde_host, h_host = rows_host[:w], rows_host[w:]          # [w|k*d, Q]
+        all_paths = M.prove_batch_multi(
+            [trace_tree, h_tree] + [l.tree for l in fri_layers],
+            [positions, positions] + leaf_idxs)
+        t_paths, h_paths = all_paths[0], all_paths[1]
+        layer_data = [
+            (leaf_idx, F.to_int(np.asarray(vals)), paths)        # [fold*d, Q]
+            for leaf_idx, vals, paths in
+            zip(leaf_idxs, fri_dev, all_paths[2:])]
 
         queries = []
         for qi, pos in enumerate(positions):
