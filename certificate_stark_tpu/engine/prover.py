@@ -180,6 +180,7 @@ class Prover:
         self._periodic = air.periodic_lde(self.b, self.offset)
         self._native_kind = self._pick_native_eval()
         self._native_ntt = self._pick_native_ntt()
+        self._eval_chunk = self._pick_eval_chunk()
         self._periodic_u64 = None
         key = self._cache_key()
         if key not in _PHASE_CACHE:
@@ -206,7 +207,29 @@ class Prover:
         return (type(self).__name__, type(self.air).__name__, self.n, self.w,
                 repr(self.opts), self.hasher.name,
                 getattr(self.air, "depth", None), self._native_kind,
-                self._native_ntt)
+                self._native_ntt, self._eval_chunk)
+
+    def _pick_eval_chunk(self):
+        """Domain-chunked constraint evaluation (lax.map over contiguous
+        LDE-domain segments). On TPU the fused eval graph of EC/Rescue-heavy
+        AIRs materializes [4,4,14,14,bn]-shaped Montgomery partial-product
+        intermediates (~1.7 GB each at bn=2^17); chunking bounds peak HBM to
+        the per-chunk working set. No-op when bn <= chunk. Single-device only:
+        the sharded prover's domain axis is already split across the mesh.
+        Override with CSTARK_EVAL_CHUNK (0 disables)."""
+        import os
+        if type(self) is not Prover:
+            return None
+        v = os.environ.get("CSTARK_EVAL_CHUNK")
+        if v is not None:
+            c = int(v)
+            return c if c > 0 else None
+        try:
+            if jax.default_backend() == "cpu":
+                return None
+        except Exception:  # noqa: BLE001
+            return None
+        return 8192
 
     def _pick_native_eval(self):
         """Use the native C constraint evaluator (native/air_eval.c) on the
@@ -397,57 +420,104 @@ class Prover:
 
         d = self.d
 
-        def _compose_body(evals, lde, t_alpha, t_beta, b_alpha, b_beta,
-                          b_evals):
-            # coefficient arrays carry a trailing extension axis [4, C, d]
-            # (d == 1 for base-field proofs); the composition lives in the
-            # extension: comp [4, d, bn].
-            # ONE fused dot over the constraint axis for alpha AND every
-            # degree-adjustment group: the per-group coefficient vectors are
-            # stacked on the output axis, so XLA sees a single mul_sum (one
-            # deferred REDC per output) — separate dots sharing the same
-            # input explode superlinearly on XLA:CPU (2 dots 0.14s, 6 dots
-            # 27s for the schnorr AIR). The transition zerofier inverse is a
-            # per-point scalar shared by all constraints, so it multiplies
-            # the combined result rather than each of the C quotients.
-            qd = evals[:, :, None, :]                  # [4, C, 1, bn]
+        def _pointwise_comp(evals, cur, zt, xp_t, b_xp, b_iz, b_ev,
+                            t_alpha, t_beta, b_alpha, b_beta):
+            """Pointwise composition over a domain segment: constraint
+            quotients + boundary terms -> comp [4, d, S].
+
+            Coefficient arrays carry a trailing extension axis [4, C, d]
+            (d == 1 for base-field proofs); the composition lives in the
+            extension. ONE fused dot over the constraint axis for alpha AND
+            every degree-adjustment group: the per-group coefficient vectors
+            are stacked on the output axis, so XLA sees a single mul_sum (one
+            deferred REDC per output) — separate dots sharing the same input
+            explode superlinearly on XLA:CPU (2 dots 0.14s, 6 dots 27s for
+            the schnorr AIR). The transition zerofier inverse is a per-point
+            scalar shared by all constraints, so it multiplies the combined
+            result rather than each of the C quotients."""
+            qd = evals[:, :, None, :]                  # [4, C, 1, S]
             coeffs = jnp.concatenate(
                 [t_alpha] + [t_beta * adj_mask[g] for g in adj_groups],
                 axis=2)                                # [4, C, (1+G)*d]
             dots = F.mul_sum(qd, coeffs[:, :, :, None], axis=1)
             comp = dots[:, :d]
-            for gi, g in enumerate(adj_groups):
+            for gi in range(len(adj_groups)):
                 part = dots[:, (1 + gi) * d:(2 + gi) * d]
-                comp = F.add(comp, F.mul(part, xpow[g][:, None]))
-            comp = F.mul(comp, zt_inv[:, None])
+                comp = F.add(comp, F.mul(part, xp_t[gi][:, None]))
+            comp = F.mul(comp, zt[:, None])
 
             # boundary terms: per divisor group, stacked over its assertions;
             # the alpha and beta dots fuse the same way
             for gi, grp in enumerate(b_struct):
-                rows = lde[:, grp["columns"]]          # [4, g, bn]
-                num = F.sub(rows, b_evals[gi])[:, :, None, :]
+                rows = cur[:, grp["columns"]]          # [4, g, S]
+                num = F.sub(rows, b_ev[gi])[:, :, None, :]
                 bc = jnp.concatenate([b_alpha[:, grp["coeff_idx"]],
                                       b_beta[:, grp["coeff_idx"]]], axis=2)
                 bd = F.mul_sum(num, bc[:, :, :, None], axis=1)
                 term = F.add(bd[:, :d],
-                             F.mul(bd[:, d:], xpow[grp["adj"]][:, None]))
-                comp = F.add(comp, F.mul(term, grp["inv_z"][:, None]))
+                             F.mul(bd[:, d:], b_xp[gi][:, None]))
+                comp = F.add(comp, F.mul(term, b_iz[gi][:, None]))
+            return comp
 
+        # stacked full-domain protocol tables (numpy; jit constants)
+        xp_t_full = [xpow[g] for g in adj_groups]
+        b_xp_full = [xpow[grp["adj"]] for grp in b_struct]
+        b_iz_full = [grp["inv_z"] for grp in b_struct]
+
+        def _finish(comp):
             comp_coeffs = intt_big(comp)
             h_coeffs = comp_coeffs[..., :k * n].reshape(4, d, n, k) \
                                                .transpose(0, 1, 3, 2)  # [4,d,k,n]
             h_lde = lde_big(h_coeffs)
             return h_coeffs, h_lde
 
+        def _compose_body(evals, lde, t_alpha, t_beta, b_alpha, b_beta,
+                          b_evals):
+            comp = _pointwise_comp(evals, lde, zt_inv, xp_t_full, b_xp_full,
+                                   b_iz_full, b_evals,
+                                   t_alpha, t_beta, b_alpha, b_beta)
+            return _finish(comp)
+
+        eval_chunk = self._eval_chunk
+
         @jax.jit
         def phase_composition(lde, t_alpha, t_beta, b_alpha, b_beta,
                               periodic, b_evals):
             nxt = jnp.roll(lde, -b, axis=-1)
-            evals = air.evaluate_transition(BASE, lde, nxt, periodic)
-            if isinstance(evals, (list, tuple)):
-                evals = jnp.stack(evals, axis=1)       # [4, C, bn]
-            return _compose_body(evals, lde, t_alpha, t_beta, b_alpha,
-                                 b_beta, b_evals)
+            S = eval_chunk
+            if S is None or bn <= S or bn % S != 0:
+                evals = air.evaluate_transition(BASE, lde, nxt, periodic)
+                if isinstance(evals, (list, tuple)):
+                    evals = jnp.stack(evals, axis=1)   # [4, C, bn]
+                return _compose_body(evals, lde, t_alpha, t_beta, b_alpha,
+                                     b_beta, b_evals)
+            # domain-chunked path (see _pick_eval_chunk): lax.map over
+            # contiguous segments keeps peak memory at the per-chunk working
+            # set; one compiled body for all segments.
+            nch = bn // S
+
+            def ch(x):
+                x = jnp.asarray(x)
+                return jnp.moveaxis(
+                    x.reshape(x.shape[:-1] + (nch, S)), -2, 0)
+
+            def body(xs_):
+                cur, nx, per, bev, zt, xpt, bxp, biz = xs_
+                evals = air.evaluate_transition(BASE, cur, nx, per)
+                if isinstance(evals, (list, tuple)):
+                    evals = jnp.stack(evals, axis=1)
+                return _pointwise_comp(evals, cur, zt, xpt, bxp, biz, bev,
+                                       t_alpha, t_beta, b_alpha, b_beta)
+
+            comp_c = jax.lax.map(body, (
+                ch(lde), ch(nxt), ch(periodic),
+                tuple(ch(be) for be in b_evals),
+                ch(zt_inv),
+                tuple(ch(x) for x in xp_t_full),
+                tuple(ch(x) for x in b_xp_full),
+                tuple(ch(x) for x in b_iz_full)))
+            comp = jnp.moveaxis(comp_c, 0, -2).reshape(4, d, bn)
+            return _finish(comp)
 
         @jax.jit
         def phase_composition_pre(evals, lde, t_alpha, t_beta, b_alpha,

@@ -109,7 +109,22 @@ def tx_rows(t, depth, message, signature):
 
 
 def build_trace(md, messages) -> jnp.ndarray:
+    import os
     if len(md.deltas) > 8:
+        use_dev = os.environ.get("CSTARK_DEVICE_TRACE")
+        if use_dev is None:
+            # default: device scan path on accelerators (the numpy step loop
+            # costs minutes there via host round-trips), numpy on XLA:CPU
+            # (where the 511-step scan over narrow lanes is slower than the
+            # vectorized host loop)
+            import jax
+            use_dev = "1" if jax.default_backend() != "cpu" else "0"
+        if use_dev != "0":
+            # production path: one jitted scan/vmap XLA program builds every
+            # transaction window simultaneously (models/trace_device.py);
+            # output is bit-identical to the host paths (tested)
+            from . import trace_device as TD
+            return TD.build_trace_device(md, messages)
         # batched numpy path (identical output; see models/trace_np.py)
         from . import trace_np as TN
         return jnp.asarray(TN.build_trace_np(md, messages))

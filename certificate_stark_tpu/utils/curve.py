@@ -73,10 +73,16 @@ def generator():
     return (FR.f6_from_limbs(G.GX), FR.f6_from_limbs(G.GY))
 
 
+def mul_gen(k: int) -> list:
+    """Fixed-base k*G -> affine 12 limbs, via the comb table
+    (utils/curve_batch.py) — ~60x faster than the affine double-and-add."""
+    from . import curve_batch as CB
+    return CB.batch_mul_gen([k])[0]
+
+
 def pkey_coords(skey: int) -> list:
     """Affine (x||y) 12 limbs of skey*G."""
-    x, y = mul(skey, generator())
-    return FR.f6_to_limbs(x) + FR.f6_to_limbs(y)
+    return mul_gen(skey)
 
 
 # ---- Schnorr (reference src/schnorr/mod.rs:197-288) ------------------------
@@ -98,7 +104,8 @@ def h_to_scalar_bits(h7) -> list:
 
 def sign(message28, skey: int, rng) -> tuple:
     r = rng.randrange(1, SCALAR_Q)
-    R = mul(r, generator())
+    r12 = mul_gen(r)
+    R = (FR.f6_from_limbs(r12[:6]), FR.f6_from_limbs(r12[6:]))
     h = hash_message(FR.f6_to_limbs(R[0]), message28)
     h_scalar = int.from_bytes(
         b"".join(int(x).to_bytes(8, "little") for x in h[:4]), "little") % SCALAR_Q

