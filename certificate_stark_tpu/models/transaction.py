@@ -110,6 +110,13 @@ def tx_rows(t, depth, message, signature):
 
 def build_trace(md, messages) -> jnp.ndarray:
     import os
+    if os.environ.get("CSTARK_NATIVE_TRACE", "1") != "0":
+        # production path on every backend: scalar C per-transaction
+        # recurrence under OpenMP (models/trace_native.py) — trace gen is
+        # sequential host work, like the reference's rayon fragment fill
+        from . import trace_native as TNV
+        if TNV.available():
+            return TNV.build_trace_native(md, messages)
     if len(md.deltas) > 8:
         use_dev = os.environ.get("CSTARK_DEVICE_TRACE")
         if use_dev is None:

@@ -88,6 +88,15 @@ def pkey_coords(skey: int) -> list:
 # ---- Schnorr (reference src/schnorr/mod.rs:197-288) ------------------------
 def hash_message(r_x6, message28) -> list:
     """h = iterated Rescue hash of (R_x || message), 7 elements."""
+    try:
+        from . import native as NAT
+        if NAT.available():
+            h = list(NAT.digest(list(r_x6)))
+            for i in range(4):
+                h = list(NAT.merge(h, list(message28[7 * i:7 * i + 7])))
+            return h
+    except Exception:  # noqa: BLE001 — fall back to the Python oracle
+        pass
     h = RR.digest(list(r_x6))
     for i in range(4):
         h = RR.merge(h, list(message28[7 * i:7 * i + 7]))

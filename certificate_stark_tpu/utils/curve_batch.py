@@ -72,6 +72,16 @@ def _comb_table():
 
 def batch_mul_gen(scalars):
     """[k_0..k_{T-1}] -> affine points [T][12 limbs] of k_i * G."""
+    if not scalars:
+        return []
+    try:
+        from . import native as NAT
+        if NAT.available() and all(v == 0 for v in CV.B3_LIMBS[1:]):
+            from ..params import curve_subfield_gen as G
+            return NAT.ec_mul_gen_batch(scalars, list(G.GX) + list(G.GY),
+                                        CV.B3_LIMBS[0])
+    except Exception:  # noqa: BLE001 — fall back to the Python comb
+        pass
     tbl = _comb_table()
     outs = []
     for k in scalars:

@@ -46,6 +46,11 @@ def lib():
         L.eval_merkle_air.argtypes = [u64p, u64p, u64p, u64p, ctypes.c_uint64]
         L.eval_rescue_chain_air.argtypes = [u64p, u64p, u64p, u64p,
                                             ctypes.c_uint64]
+        _u32p_t = ctypes.POINTER(ctypes.c_uint32)
+        L.transaction_trace.argtypes = [u64p] * 10 + [
+            u64p, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint64, _u32p_t]
+        L.ec_mul_gen_batch.argtypes = [u64p, u64p, ctypes.c_uint64,
+                                       ctypes.c_uint64, u64p]
         L.eval_transaction_air.argtypes = [u64p, u64p, u64p, u64p,
                                            ctypes.c_uint64, u64p,
                                            ctypes.c_uint64]
@@ -305,3 +310,37 @@ def verify_path(root, index, leaf, path) -> bool:
     flat = _arr([x for d in path for x in d])
     return bool(lib().rescue_verify_path(_p(r), int(index), _p(lf), _p(flat),
                                          len(path)))
+
+
+def transaction_trace(init_rows, sibs, path_bits, pkey12, rx6, sbits, hbits,
+                      msgch, dbits, gbits, gen12, b3_std, depth, T):
+    """Native composed-transaction trace (native/air_eval.c transaction_trace;
+    reference src/trace.rs:28-142). All inputs standard-form uint64 arrays;
+    returns Montgomery 16-bit limb planes [4, 94, T*1024] uint32 — the device
+    limb layout (ops/field.py), no host conversion needed."""
+    assert depth <= 32
+    out = np.empty((4, 94, T * 1024), dtype=np.uint32)
+    args = [np.ascontiguousarray(a, dtype=np.uint64)
+            for a in (init_rows, sibs, path_bits, pkey12, rx6, sbits, hbits,
+                      msgch, dbits, gbits, gen12)]
+    lib().transaction_trace(*[_p(a) for a in args],
+                            int(b3_std) % _P, int(depth), int(T),
+                            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+    return out
+
+
+def ec_mul_gen_batch(scalars, gen12, b3_std):
+    """Batch fixed-base k_i*G -> [T][12] standard-form affine limbs
+    (native/air_eval.c ec_mul_gen_batch). Scalars must be in [1, group order)
+    — the identity is not representable in affine output."""
+    T = len(scalars)
+    words = np.zeros((T, 4), dtype=np.uint64)
+    for i, k in enumerate(scalars):
+        k = int(k)
+        assert 0 < k < (1 << 256)
+        for w in range(4):
+            words[i, w] = (k >> (64 * w)) & 0xFFFFFFFFFFFFFFFF
+    gen = np.ascontiguousarray(gen12, dtype=np.uint64)
+    out = np.empty((T, 12), dtype=np.uint64)
+    lib().ec_mul_gen_batch(_p(words), _p(gen), int(b3_std) % _P, T, _p(out))
+    return [[int(v) for v in row] for row in out]

@@ -586,3 +586,247 @@ void rescue_chain_trace_mont(const u64 *seed7, u64 length, u64 *out) {
         }
     }
 }
+
+/* =========================================================================
+ * Native composed-transaction trace generation (models/trace_np.py spec;
+ * reference src/trace.rs:28-142 + src/prover.rs:37-98).
+ *
+ * Trace generation is an inherently sequential per-transaction recurrence
+ * (1023 steps of EC double/add + Rescue rounds); the reference fills it with
+ * scalar Rust under rayon.  The TPU framework's equivalent is this scalar C
+ * builder (OpenMP over transactions), feeding Montgomery column-major output
+ * straight into the device pipeline — measured ~1000x over the XLA:CPU scan
+ * and ~50x over the vectorized numpy host path.
+ * ========================================================================= */
+
+static const u64 F6_INV_EXP[6] = {            /* p^6 - 2, little-endian */
+    0x88ffffffffffffffULL, 0xfb61c00000000001ULL, 0x55c2038000000000ULL,
+    0x1074daebf0000000ULL, 0x1af28ce25900000ULL, 0x1262d2ca6f6400ULL};
+
+static void f6inv(const u64 *a, u64 *out) {
+    u64 r[6] = {ONE_M, 0, 0, 0, 0, 0}, base[6], t[6];
+    for (int i = 0; i < 6; i++) base[i] = a[i];
+    for (int w = 0; w < 6; w++) {
+        u64 e = F6_INV_EXP[w];
+        for (int b = 0; b < 64; b++) {
+            if (e & 1) { f6mul(r, base, t); for (int i = 0; i < 6; i++) r[i] = t[i]; }
+            e >>= 1;
+            f6mul(base, base, t); for (int i = 0; i < 6; i++) base[i] = t[i];
+        }
+    }
+    for (int i = 0; i < 6; i++) out[i] = r[i];
+}
+
+static const u64 TX_INV_ALPHA = 3146514939656186539ULL;
+
+/* one forward Rescue round on a 14-element state slice, ark row r */
+static void tx_rescue_round(u64 *st, int r) {
+    u64 tmp[14];
+    const u64 *ark = ARK_M[r];
+    for (int i = 0; i < 14; i++) st[i] = mmul(st[i], mmul(st[i], st[i]));
+    for (int i = 0; i < 14; i++) {
+        u64 acc = 0;
+        for (int j = 0; j < 14; j++) acc = madd(acc, mmul(MDS_M[i * 14 + j], st[j]));
+        tmp[i] = madd(acc, ark[i]);
+    }
+    for (int i = 0; i < 14; i++) st[i] = mpow_m(tmp[i], TX_INV_ALPHA);
+    for (int i = 0; i < 14; i++) {
+        u64 acc = 0;
+        for (int j = 0; j < 14; j++) acc = madd(acc, mmul(MDS_M[i * 14 + j], st[j]));
+        tmp[i] = madd(acc, ark[14 + i]);
+    }
+    for (int i = 0; i < 14; i++) st[i] = tmp[i];
+}
+
+static void tx_inject(u64 *state, int base, const u64 *sib_m, u64 bit) {
+    for (int k = 0; k < 2; k++) {
+        int reg = base + 15 * k;
+        u64 digest[7];
+        for (int i = 0; i < 7; i++) digest[i] = state[reg + i];
+        for (int i = 0; i < 7; i++) state[reg + 7 + i] = bit ? digest[i] : sib_m[i];
+        for (int i = 0; i < 7; i++) state[reg + i] = bit ? sib_m[i] : digest[i];
+    }
+    state[base + 14] = bit ? ONE_M : 0;
+}
+
+/* register map (models/transaction.py / models/merkle_update.py):
+ * clusters 0,15,29,44 (+bit regs 14,43); PREV_ROOT 58; copies 65..92;
+ * schnorr points 0..17 / 19..36 with bit regs 18/37, recomposition 38..41,
+ * hash state 42..55; delta range 56/57; sigma range 92/93. */
+void transaction_trace(
+    const u64 *init_rows,  /* [T][94] standard form */
+    const u64 *sibs,       /* [T][2][depth][7] standard (s side then r) */
+    const u64 *path_bits,  /* [T][2][depth] 0/1 */
+    const u64 *pkey12,     /* [T][12] standard */
+    const u64 *rx6,        /* [T][6] standard */
+    const u64 *sbits,      /* [T][256] 0/1 */
+    const u64 *hbits,      /* [T][256] 0/1 */
+    const u64 *msgch,      /* [T][4][7] standard */
+    const u64 *dbits,      /* [T][64] 0/1 */
+    const u64 *gbits,      /* [T][64] 0/1 (sigma) */
+    const u64 *gen12,      /* [12] standard */
+    u64 b3_std, u64 depth, u64 T,
+    uint32_t *out)         /* [4][94][T*1024] Montgomery 16-bit limb planes
+                            * (the device limb layout; see ops/field.py) */
+{
+    air_eval_init();
+    const u64 b3 = mmul(b3_std % P, R2);
+    const u64 thl = 8 * depth + 7;
+    const u64 n = T * 1024;
+    u64 gen_m[12];
+    for (int i = 0; i < 12; i++) gen_m[i] = mmul(gen12[i] % P, R2);
+
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic)
+#endif
+    for (u64 t = 0; t < T; t++) {
+        u64 state[94], pk_m[12], rx_m[6], sib_m[2][32][7], msg_m[4][7];
+        for (int i = 0; i < 94; i++) state[i] = mmul(init_rows[t * 94 + i] % P, R2);
+        for (int i = 0; i < 12; i++) pk_m[i] = mmul(pkey12[t * 12 + i] % P, R2);
+        for (int i = 0; i < 6; i++) rx_m[i] = mmul(rx6[t * 6 + i] % P, R2);
+        for (int s = 0; s < 2; s++)
+            for (u64 l = 0; l < depth; l++)
+                for (int i = 0; i < 7; i++)
+                    sib_m[s][l][i] = mmul(
+                        sibs[((t * 2 + s) * depth + l) * 7 + i] % P, R2);
+        for (int c = 0; c < 4; c++)
+            for (int i = 0; i < 7; i++)
+                msg_m[c][i] = mmul(msgch[(t * 4 + c) * 7 + i] % P, R2);
+        const u64 *sb_t = sbits + t * 256, *hb_t = hbits + t * 256;
+        const u64 *db_t = dbits + t * 64, *gb_t = gbits + t * 64;
+        const u64 *bit_s = path_bits + t * 2 * depth;
+        const u64 *bit_r = bit_s + depth;
+
+        u64 base_col = t * 1024;
+#define TX_EMIT(col) do { u64 _c = (col); \
+    for (int _i = 0; _i < 94; _i++) { u64 _v = state[_i]; \
+        out[(u64)_i * n + _c] = (uint32_t)(_v & 0xFFFF); \
+        out[94 * n + (u64)_i * n + _c] = (uint32_t)((_v >> 16) & 0xFFFF); \
+        out[2 * 94 * n + (u64)_i * n + _c] = (uint32_t)((_v >> 32) & 0xFFFF); \
+        out[3 * 94 * n + (u64)_i * n + _c] = (uint32_t)(_v >> 48); } \
+    } while (0)
+        TX_EMIT(base_col);
+
+        for (u64 step = 0; step < 1023; step++) {
+            if (step < 511) {
+                if (step < thl) {
+                    u64 cyc = step / 8, pos = step % 8;
+                    if (pos < 7) {
+                        tx_rescue_round(state + 0, (int)pos);
+                        tx_rescue_round(state + 15, (int)pos);
+                        tx_rescue_round(state + 29, (int)pos);
+                        tx_rescue_round(state + 44, (int)pos);
+                    } else {
+                        tx_inject(state, 0, sib_m[0][cyc], bit_s[cyc]);
+                        tx_inject(state, 29, sib_m[1][cyc], bit_r[cyc]);
+                    }
+                }
+                if (step == thl - 1)
+                    for (int i = 0; i < 7; i++) state[58 + i] = state[44 + i];
+            } else if (step == 511) {
+                for (int i = 0; i < 58; i++) state[i] = 0;
+                state[6] = ONE_M;                      /* y(S) = 1 */
+                state[25] = ONE_M;                     /* y(h.P) = 1 */
+                for (int i = 0; i < 6; i++) state[42 + i] = rx_m[i];
+                state[92] = 0; state[93] = 0;
+            } else {
+                u64 sstep = step - 512;
+                /* hash lane: cols 42..56 */
+                if (sstep < 40) {
+                    u64 pos = sstep % 8;
+                    if (pos < 7) tx_rescue_round(state + 42, (int)pos);
+                    else if (sstep < 32)
+                        for (int i = 0; i < 7; i++) state[49 + i] = msg_m[sstep / 8][i];
+                    else
+                        for (int i = 0; i < 7; i++) state[49 + i] = 0;
+                }
+                /* scalar-mul lane: cols 0..42 */
+                if (sstep < 510) {
+                    u64 real = sstep / 2;
+                    u64 chunk = real < 63 ? 0 : (real - 63) / 64 + 1;
+                    u64 sb = sb_t[254 - real], hb = hb_t[254 - real];
+                    state[18] = sb ? ONE_M : 0;
+                    state[37] = hb ? ONE_M : 0;
+                    if ((sstep & 1) == 0) {
+                        u64 o[18];
+                        ec_double(state + 0, b3, o);
+                        for (int i = 0; i < 18; i++) state[i] = o[i];
+                        ec_double(state + 19, b3, o);
+                        for (int i = 0; i < 18; i++) state[19 + i] = o[i];
+                        int vp = (int)(41 - chunk);
+                        state[vp] = madd(mdbl(state[vp]), state[37]);
+                    } else {
+                        u64 o[18];
+                        if (sb) {
+                            ec_add_mixed(state + 0, gen_m, b3, o);
+                            for (int i = 0; i < 18; i++) state[i] = o[i];
+                        }
+                        if (hb) {
+                            ec_add_mixed(state + 19, pk_m, b3, o);
+                            for (int i = 0; i < 18; i++) state[19 + i] = o[i];
+                        }
+                    }
+                } else if (sstep == 510) {
+                    u64 hp[18], o[18], zinv[6], xn[6];
+                    for (int i = 0; i < 18; i++) hp[i] = state[19 + i];
+                    state[18] = ONE_M;
+                    ec_add(state + 0, hp, b3, o);
+                    for (int i = 0; i < 18; i++) state[i] = o[i];
+                    f6inv(state + 12, zinv);
+                    f6mul(state + 0, zinv, xn);
+                    for (int i = 0; i < 6; i++) state[i] = xn[i];
+                }
+                /* range lanes: cols 56/57 (delta), 92/93 (sigma) */
+                if (sstep < 64) {
+                    state[56] = db_t[63 - sstep] ? ONE_M : 0;
+                    state[57] = madd(mdbl(state[57]), state[56]);
+                    state[92] = gb_t[63 - sstep] ? ONE_M : 0;
+                    state[93] = madd(mdbl(state[93]), state[92]);
+                }
+            }
+            TX_EMIT(base_col + step + 1);
+        }
+#undef TX_EMIT
+    }
+}
+
+/* Batch fixed-base scalar multiplication k_i * G for witness generation
+ * (reference Scalar::random + pkey derivation / schnorr::sign R = r*G,
+ * src/lib.rs:272-333, schnorr/mod.rs:197-217).  scalars are 256-bit LE words;
+ * output affine (x||y) 12 limbs per point in STANDARD form. */
+void ec_mul_gen_batch(const u64 *scalars, /* [T][4] 256-bit LE words */
+                      const u64 *gen12,   /* [12] standard */
+                      u64 b3_std, u64 T,
+                      u64 *out)           /* [T][12] standard */
+{
+    air_eval_init();
+    const u64 b3 = mmul(b3_std % P, R2);
+    u64 gen_m[12];
+    for (int i = 0; i < 12; i++) gen_m[i] = mmul(gen12[i] % P, R2);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic)
+#endif
+    for (u64 t = 0; t < T; t++) {
+        const u64 *k = scalars + t * 4;
+        int top = 255;
+        while (top >= 0 && !((k[top >> 6] >> (top & 63)) & 1)) top--;
+        u64 st[18] = {0}, o[18];
+        st[6] = ONE_M;                       /* identity (0 : 1 : 0) */
+        for (int b = top; b >= 0; b--) {
+            ec_double(st, b3, o);
+            for (int i = 0; i < 18; i++) st[i] = o[i];
+            if ((k[b >> 6] >> (b & 63)) & 1) {
+                ec_add_mixed(st, gen_m, b3, o);
+                for (int i = 0; i < 18; i++) st[i] = o[i];
+            }
+        }
+        u64 zinv[6], xa[6], ya[6];
+        f6inv(st + 12, zinv);
+        f6mul(st + 0, zinv, xa);
+        f6mul(st + 6, zinv, ya);
+        for (int i = 0; i < 6; i++) {
+            out[t * 12 + i] = mmul(xa[i], 1);        /* Montgomery -> std */
+            out[t * 12 + 6 + i] = mmul(ya[i], 1);
+        }
+    }
+}
