@@ -68,8 +68,25 @@ def _regroup(flat, d):
             for i in range(len(flat) // d)]
 
 
-def verify(air_class, proof, pub_inputs, air_kwargs=None):
+def verify(air_class, proof, pub_inputs, air_kwargs=None,
+           expected_options=None, min_security=None):
+    """Accept/reject `proof` for `air_class(pub_inputs)`.
+
+    The proof carries its own ProofOptions (as in winterfell), so a caller
+    that does not pin them would accept, e.g., a 1-query blowup-2 proof.
+    Callers with a known configuration should pass `expected_options`
+    (rejected on any mismatch) or `min_security` (bits; checked against
+    proof.security_level(conjectured=True)). The Example wrappers pass their
+    own options automatically.
+    """
     opts = proof.options
+    if expected_options is not None and repr(opts) != repr(expected_options):
+        _fail("options", f"proof options {opts!r} != expected "
+                         f"{expected_options!r}")
+    if min_security is not None and \
+            proof.security_level(conjectured=True) < int(min_security):
+        _fail("options", f"security {proof.security_level(True)} < "
+                         f"required {min_security}")
     n = proof.trace_length
     air = air_class(n, pub_inputs, opts, **(air_kwargs or {}))
     w = proof.trace_width

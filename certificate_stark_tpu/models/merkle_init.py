@@ -145,4 +145,5 @@ class MerkleInitExample:
 
     def verify(self, proof, pub_inputs=None):
         from ..engine import verifier as V
-        return V.verify(MerkleInitAir, proof, pub_inputs or self.pub_inputs())
+        return V.verify(MerkleInitAir, proof, pub_inputs or self.pub_inputs(),
+                        expected_options=self.options)

@@ -181,7 +181,8 @@ class MerkleUpdateExample:
     def verify(self, proof, pub_inputs=None):
         from ..engine import verifier as V
         return V.verify(MerkleUpdateAir, proof, pub_inputs or self.pub_inputs(),
-                        air_kwargs={"depth": self.depth})
+                        air_kwargs={"depth": self.depth},
+                        expected_options=self.options)
 
 
 def evaluate_setup_values(fx, current, agg, setup):

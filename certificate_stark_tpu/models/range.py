@@ -79,4 +79,6 @@ class RangeExample:
 
     def verify(self, proof, number=None):
         from ..engine import verifier as V
-        return V.verify(RangeAir, proof, [self.number if number is None else number])
+        return V.verify(RangeAir, proof,
+                        [self.number if number is None else number],
+                        expected_options=self.options)

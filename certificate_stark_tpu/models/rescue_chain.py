@@ -143,4 +143,5 @@ class RescueChainExample:
 
     def verify(self, proof, pub_inputs=None):
         from ..engine import verifier as V
-        return V.verify(RescueChainAir, proof, pub_inputs or self.pub_inputs())
+        return V.verify(RescueChainAir, proof, pub_inputs or self.pub_inputs(),
+                        expected_options=self.options)

@@ -323,4 +323,5 @@ class SchnorrExample:
 
     def verify(self, proof, pub_inputs=None):
         from ..engine import verifier as V
-        return V.verify(SchnorrAir, proof, pub_inputs or self.pub_inputs())
+        return V.verify(SchnorrAir, proof, pub_inputs or self.pub_inputs(),
+                        expected_options=self.options)

@@ -351,4 +351,5 @@ class TransactionExample:
     def verify(self, proof, pub_inputs=None):
         from ..engine import verifier as V
         return V.verify(TransactionAir, proof, pub_inputs or self.pub_inputs(),
-                        air_kwargs={"depth": self.depth})
+                        air_kwargs={"depth": self.depth},
+                        expected_options=self.options)
