@@ -248,7 +248,9 @@ class HostExtOps:
 
     def zeros_like(self, a):
         out = _np.empty_like(a)
-        out[...] = self._zero
+        # fill() stores the d-tuple as one object per cell; plain assignment
+        # would broadcast it as a (d,)-shaped array and fail for d > 1
+        out.fill(self._zero)
         return out
 
     # compound crypto ops

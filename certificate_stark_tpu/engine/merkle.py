@@ -84,6 +84,8 @@ def prove_batch_multi(trees, indices_list):
     """Authentication paths for several trees in ONE device dispatch + ONE
     transfer (all trees must share a hasher/digest layout). Returns one
     {index: path} dict per tree."""
+    assert len(trees) == len(indices_list), \
+        f"{len(trees)} trees vs {len(indices_list)} index lists"
     levels, idxs, meta = [], [], []
     for tree, indices in zip(trees, indices_list):
         uniq = sorted({int(i) for i in indices})

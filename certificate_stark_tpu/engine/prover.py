@@ -114,8 +114,11 @@ def _gather_query_data(lde, h_rows, groups, pos, leaf_idxs):
     global _GATHER_QUERY
     if _GATHER_QUERY is None:
         def g(lde_, h_rows_, groups_, pos_, leaf_idxs_):
-            rows = jnp.take(jnp.concatenate([lde_, h_rows_], axis=1),
-                            pos_, axis=-1)
+            # gather each source separately and concatenate the [.., Q]-sized
+            # results — concatenating the full-domain arrays first would
+            # materialize a second (w+k*d) x bn array if XLA doesn't fuse
+            rows = jnp.concatenate([jnp.take(lde_, pos_, axis=-1),
+                                    jnp.take(h_rows_, pos_, axis=-1)], axis=1)
             fri = [jnp.take(
                 gr.transpose(0, 2, 1, 3).reshape(4, -1, gr.shape[-1]),
                 ix, axis=-1) for gr, ix in zip(groups_, leaf_idxs_)]
@@ -181,6 +184,7 @@ class Prover:
         self._native_kind = self._pick_native_eval()
         self._native_ntt = self._pick_native_ntt()
         self._eval_chunk = self._pick_eval_chunk()
+        self._lde_cols = self._pick_lde_cols()
         self._periodic_u64 = None
         key = self._cache_key()
         if key not in _PHASE_CACHE:
@@ -207,7 +211,7 @@ class Prover:
         return (type(self).__name__, type(self.air).__name__, self.n, self.w,
                 repr(self.opts), self.hasher.name,
                 getattr(self.air, "depth", None), self._native_kind,
-                self._native_ntt, self._eval_chunk)
+                self._native_ntt, self._eval_chunk, self._lde_cols)
 
     def _pick_eval_chunk(self):
         """Domain-chunked constraint evaluation (lax.map over contiguous
@@ -230,6 +234,26 @@ class Prover:
         except Exception:  # noqa: BLE001
             return None
         return 8192
+
+    def _pick_lde_cols(self):
+        """Column-group size for chunked big-domain transforms (lax.map over
+        groups of trace/composition columns). The Montgomery partial-product
+        tensor of an NTT stage over C columns is [4,4,C,bn] u32 (64*C*bn
+        bytes); capping C*bn ~ 2^24 keeps it ~1 GB. None = unchunked
+        (XLA:CPU, sharded prover). Override with CSTARK_LDE_COLS."""
+        import os
+        if type(self) is not Prover:
+            return None
+        v = os.environ.get("CSTARK_LDE_COLS")
+        if v is not None:
+            c = int(v)
+            return c if c > 0 else None
+        try:
+            if jax.default_backend() == "cpu":
+                return None
+        except Exception:  # noqa: BLE001
+            return None
+        return max(1, (1 << 24) // self.bn)
 
     def _pick_native_eval(self):
         """Use the native C constraint evaluator (native/air_eval.c) on the
@@ -371,12 +395,46 @@ class Prover:
         comp_deg = k * n - 1
         lde_big = self._make_lde_big()
         intt_big = self._make_intt_big()
+        lde_cols = self._lde_cols
+
+        def _map_col_groups(body, x, wc):
+            """Apply `body` ([4, wc, n] -> pytree of [4, wc, m]) over groups
+            of wc columns of x [4, *B, n] via lax.map (bounds the Montgomery
+            partial-product working set; see _pick_lde_cols)."""
+            lead = x.shape[1:-1]
+            C = int(np.prod(lead)) if lead else 1
+            flat = x.reshape((4, C, x.shape[-1]))
+            padc = (-C) % wc
+            if padc:
+                flat = jnp.pad(flat, ((0, 0), (0, padc), (0, 0)))
+            groups = flat.reshape(4, (C + padc) // wc, wc, -1) \
+                         .transpose(1, 0, 2, 3)        # [G, 4, wc, n]
+            outs = jax.lax.map(body, groups)
+
+            def restore(o):
+                o = o.transpose(1, 0, 2, 3).reshape(4, C + padc, -1)[:, :C]
+                return o.reshape((4,) + lead + (o.shape[-1],))
+
+            return jax.tree_util.tree_map(restore, outs)
+
+        def lde_big_chunked(coeffs):
+            lead = coeffs.shape[1:-1]
+            C = int(np.prod(lead)) if lead else 1
+            if lde_cols is None or C <= lde_cols:
+                return lde_big(coeffs)
+            return _map_col_groups(lde_big, coeffs, lde_cols)
 
         @jax.jit
         def phase_trace(trace):
-            coeffs = NTT.intt(trace)
-            lde = lde_big(coeffs)
-            return coeffs, lde
+            if lde_cols is None or w <= lde_cols:
+                coeffs = NTT.intt(trace)
+                return coeffs, lde_big(coeffs)
+
+            def body(g):
+                cf = NTT.intt(g)
+                return cf, lde_big(cf)
+
+            return _map_col_groups(body, trace, lde_cols)
 
         # ---- host-numpy protocol tables (concrete jit constants) ----------
         t_adjs = [comp_deg - (d.poly_degree(n) - (n - 1)) for d in self.degrees]
@@ -468,7 +526,7 @@ class Prover:
             comp_coeffs = intt_big(comp)
             h_coeffs = comp_coeffs[..., :k * n].reshape(4, d, n, k) \
                                                .transpose(0, 1, 3, 2)  # [4,d,k,n]
-            h_lde = lde_big(h_coeffs)
+            h_lde = lde_big_chunked(h_coeffs)
             return h_coeffs, h_lde
 
         def _compose_body(evals, lde, t_alpha, t_beta, b_alpha, b_beta,
@@ -569,18 +627,14 @@ class Prover:
                 zpt[:, 1:, None], (4, d - 1, base_vec.shape[-1])))
             return jnp.concatenate([first, rest], axis=1)
 
-        @jax.jit
-        def phase_deep(lde, h_lde, ood_z, ood_zg, ood_h, g_z, g_zg, g_h, z):
-            zg = F.mul(z, jnp.broadcast_to(_limb(g_trace)[:, None], z.shape))
-            zk = z
-            for _ in range(k.bit_length() - 1):
-                zk = XF.ext_mul(zk[:, :, None], zk[:, :, None], d)[:, :, 0]
+        def _deep_pointwise(lde_c, h_c, xs_c, ood_z, ood_zg, ood_h,
+                            g_z, g_zg, g_h, z, zg, zk):
             # Montgomery batch inversion across the three denominators: one
             # inversion chain instead of three (each is ~90 field muls over
             # the whole domain), unfolded with 8 ext muls.
-            xz = _lift_sub_point(xs, z)
-            xzg = _lift_sub_point(xs, zg)
-            xzk = _lift_sub_point(xs, zk)
+            xz = _lift_sub_point(xs_c, z)
+            xzg = _lift_sub_point(xs_c, zg)
+            xzk = _lift_sub_point(xs_c, zk)
             pzzg = XF.ext_mul(xz, xzg, d)
             inv_all = XF.ext_inv_vec(XF.ext_mul(pzzg, xzk, d), d)
             inv_xz = XF.ext_mul(inv_all, XF.ext_mul(xzg, xzk, d), d)
@@ -588,16 +642,40 @@ class Prover:
             inv_xzk = XF.ext_mul(inv_all, pzzg, d)
 
             def dot_rows(rows, oods, coeffs):
-                numer = _lift_sub(rows, oods)          # [4, d, R, bn]
+                numer = _lift_sub(rows, oods)          # [4, d, R, S]
                 return XF.ext_mul_sum(numer, coeffs[:, :, :, None], d, axis=2)
 
-            deep = XF.ext_mul(dot_rows(lde, ood_z, g_z), inv_xz, d)
-            deep = F.add(deep, XF.ext_mul(dot_rows(lde, ood_zg, g_zg), inv_xzg, d))
+            deep = XF.ext_mul(dot_rows(lde_c, ood_z, g_z), inv_xz, d)
+            deep = F.add(deep,
+                         XF.ext_mul(dot_rows(lde_c, ood_zg, g_zg), inv_xzg, d))
             # composition columns are ext-valued: numer = H - ood directly
-            h_num = F.sub(h_lde, ood_h[:, :, :, None])
+            h_num = F.sub(h_c, ood_h[:, :, :, None])
             h_dot = XF.ext_mul_sum(h_num, g_h[:, :, :, None], d, axis=2)
-            deep = F.add(deep, XF.ext_mul(h_dot, inv_xzk, d))
-            return deep                                 # [4, d, bn]
+            return F.add(deep, XF.ext_mul(h_dot, inv_xzk, d))
+
+        @jax.jit
+        def phase_deep(lde, h_lde, ood_z, ood_zg, ood_h, g_z, g_zg, g_h, z):
+            zg = F.mul(z, jnp.broadcast_to(_limb(g_trace)[:, None], z.shape))
+            zk = z
+            for _ in range(k.bit_length() - 1):
+                zk = XF.ext_mul(zk[:, :, None], zk[:, :, None], d)[:, :, 0]
+            S = eval_chunk
+            if S is None or bn <= S or bn % S != 0:
+                return _deep_pointwise(lde, h_lde, xs, ood_z, ood_zg, ood_h,
+                                       g_z, g_zg, g_h, z, zg, zk)
+            nch = bn // S
+
+            def ch(x):
+                x = jnp.asarray(x)
+                return jnp.moveaxis(x.reshape(x.shape[:-1] + (nch, S)), -2, 0)
+
+            def body(xs_):
+                lde_c, h_c, xs_c = xs_
+                return _deep_pointwise(lde_c, h_c, xs_c, ood_z, ood_zg,
+                                       ood_h, g_z, g_zg, g_h, z, zg, zk)
+
+            deep_c = jax.lax.map(body, (ch(lde), ch(h_lde), ch(xs)))
+            return jnp.moveaxis(deep_c, 0, -2).reshape(4, d, bn)
 
         self.phase_trace = phase_trace
         self.phase_composition = phase_composition

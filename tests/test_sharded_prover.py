@@ -45,3 +45,28 @@ def test_sharded_quadratic_extension():
     with mesh:
         sharded = SP.ShardedProver(air, mesh).prove(ex.trace)
     assert sharded.to_bytes() == single.to_bytes()
+
+
+def test_sharded_transaction_bit_identical():
+    """The FLAGSHIP composed AIR through the distributed pipeline: 94 columns,
+    periodic-column LDE args, grouped boundary tables — proof bytes must equal
+    the single-device prover's (depth 3, 2 txs, 8-device CPU mesh)."""
+    from certificate_stark_tpu.models import transaction as TX
+    opts = ProofOptions(num_queries=8, blowup=8, grinding_bits=0,
+                        hash_fn="blake3", extension_degree=1,
+                        fri_folding=4, fri_max_remainder=256)
+    ex = TX.TransactionExample(2, opts, depth=3, seed=13)
+    air = TX.TransactionAir(ex.trace.shape[-1], ex.pub_inputs(), opts, depth=3)
+
+    single = PR.Prover(air).prove(ex.trace)
+
+    mesh = make_mesh(jax.devices()[:8])
+    air2 = TX.TransactionAir(ex.trace.shape[-1], ex.pub_inputs(), opts,
+                             depth=3)
+    p = SP.ShardedProver(air2, mesh)
+    with mesh:
+        sharded = p.prove(ex.trace)
+
+    assert sharded.to_bytes() == single.to_bytes()
+    assert VR.verify(TX.TransactionAir, sharded, ex.pub_inputs(),
+                     air_kwargs={"depth": 3})
