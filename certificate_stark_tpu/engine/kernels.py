@@ -34,3 +34,23 @@ def hash_columns_kernel(hasher, shape_key):
     if key not in _CACHE:
         _CACHE[key] = jax.jit(hasher.hash_columns)
     return _CACHE[key]
+
+
+def hash_columns_chunked_kernel(hasher, shape_key, chunk):
+    """hash_columns with the leaf axis processed in lax.map segments of
+    `chunk` points: bounds the Montgomery->standard conversion and message
+    schedule working set to the segment (the full-domain form peaks at
+    several GB for a 94 x 2^20 LDE)."""
+    import jax.numpy as jnp
+
+    key = ("hashcols_c", hasher.name, shape_key, chunk)
+    if key not in _CACHE:
+        def fn(cols):
+            nch = cols.shape[-1] // chunk
+            g = jnp.moveaxis(
+                cols.reshape(cols.shape[:-1] + (nch, chunk)), -2, 0)
+            leaves = jax.lax.map(hasher.hash_columns, g)  # [nch, D.., chunk]
+            out = jnp.moveaxis(leaves, 0, -2)
+            return out.reshape(out.shape[:-2] + (-1,))
+        _CACHE[key] = jax.jit(fn)
+    return _CACHE[key]

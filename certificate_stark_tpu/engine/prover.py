@@ -127,6 +127,9 @@ def _gather_query_data(lde, h_rows, groups, pos, leaf_idxs):
     return _GATHER_QUERY(lde, h_rows, list(groups), pos, list(leaf_idxs))
 
 
+_COMMIT_CHUNK = 1 << 16
+
+
 def _commit(hasher, data, native_ok: bool = True):
     """Hash columns + build Merkle levels with shape-cached kernels."""
     if native_ok and _use_native_commit(hasher):
@@ -134,7 +137,13 @@ def _commit(hasher, data, native_ok: bool = True):
         cols = F.pack_u64(np.asarray(data))
         return NAT.blake3_commit_levels(cols)
     from . import kernels as K
-    leaves = K.hash_columns_kernel(hasher, data.shape)(data)
+    B = data.shape[-1]
+    if B > _COMMIT_CHUNK and B % _COMMIT_CHUNK == 0 and \
+            jax.default_backend() != "cpu":
+        leaves = K.hash_columns_chunked_kernel(
+            hasher, data.shape, _COMMIT_CHUNK)(data)
+    else:
+        leaves = K.hash_columns_kernel(hasher, data.shape)(data)
     return K.tree_levels(hasher, leaves)
 
 

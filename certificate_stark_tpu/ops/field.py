@@ -515,3 +515,28 @@ def unpack_u64(vals: np.ndarray) -> np.ndarray:
     v = np.ascontiguousarray(np.asarray(vals, dtype=np.uint64))
     half = v.reshape(v.shape + (1,)).view(np.uint16)      # (*S, 4) LE limbs
     return np.moveaxis(half, -1, 0).astype(np.uint32)
+
+
+def redc_cols16(t_cols, J, xp=jnp):
+    """Montgomery-reduce per-16-bit-weight column sums.
+
+    t_cols: list of 8 u32 arrays (weight 2^(16*k), values < 2^32) whose
+    weighted sum is a deferred product accumulation of J Montgomery products
+    (as produced by the MXU MDS path, ops/rescue.py). Returns reduced
+    Montgomery limbs [4, *S]. Same tail as mul_sum."""
+    t = []
+    carry = np.uint32(0)
+    zero = xp.zeros_like(t_cols[0])
+    for k in range(9):
+        s = (t_cols[k] if k < 8 else zero) + carry
+        carry = s >> 16
+        t.append(s & MASK16)
+    u = _redc(t, xp)
+    u_max = P + (J * (P - 1) * (P - 1)) // R
+    s_max = max((u_max // P).bit_length() - 1, 0)
+    for s in range(s_max, -1, -1):
+        ps = _p_multiple_limbs(s)
+        ge = _geq_n(u, ps)
+        sub5 = _sub_limbs_n(u, ps)
+        u = [xp.where(ge, x, y) for x, y in zip(sub5, u)]
+    return xp.stack(u[:4], axis=0)

@@ -42,6 +42,79 @@ def inv_sbox(state, xp=jnp):
     return F.pow_const(state, INV_ALPHA, xp=xp)
 
 
+_MDS_MXU = None
+
+
+def _mds_mxu_enabled():
+    """Gate for the MXU MDS path: on for accelerator backends (default),
+    off on XLA:CPU and the numpy namespace. CSTARK_MDS_MXU=0/1 overrides."""
+    global _MDS_MXU
+    if _MDS_MXU is None:
+        import os
+        v = os.environ.get("CSTARK_MDS_MXU")
+        if v is not None:
+            _MDS_MXU = v != "0"
+        else:
+            try:
+                _MDS_MXU = jax.default_backend() != "cpu"
+            except Exception:  # noqa: BLE001
+                _MDS_MXU = False
+    return _MDS_MXU
+
+
+_MXU_TABLES = {}
+
+
+def _mxu_table(mds_table):
+    """Block byte-plane matrix Mbig [15*14, 8*14] f32 with
+    Mbig[(k,i),(q,j)] = byte-plane (k-q) of MDS[i][j] (0 <= k-q < 8):
+    one [210,112]@[112,B] matmul yields every byte-weight column sum
+    cols[k][i] = sum_{p+q=k} sum_j M_p[i,j]*S_q[j] of the limb product."""
+    key = id(mds_table)
+    tbl = _MXU_TABLES.get(key)
+    if tbl is None:
+        m = np.asarray(mds_table)              # [4,14,14] u32 16-bit limbs
+        planes = np.zeros((8, 14, 14), dtype=np.float32)
+        for limb in range(4):
+            planes[2 * limb] = (m[limb] & 0xFF).astype(np.float32)
+            planes[2 * limb + 1] = (m[limb] >> 8).astype(np.float32)
+        big = np.zeros((15 * 14, 8 * 14), dtype=np.float32)
+        for k in range(15):
+            for q in range(8):
+                p = k - q
+                if 0 <= p < 8:
+                    big[k * 14:(k + 1) * 14, q * 14:(q + 1) * 14] = planes[p]
+        # cache the HOST array only: a device array created inside one jit
+        # trace must not leak into another (UnexpectedTracerError)
+        tbl = big.astype(jnp.bfloat16)
+        _MXU_TABLES[key] = tbl
+    return jnp.asarray(tbl)
+
+
+def _mds_apply_mxu(state, mds_table):
+    """MDS apply on the MXU: byte-split limbs (exact in bf16, products
+    accumulate exactly in f32 < 2^24), ONE [210,112]@[112,L*B] matmul, then
+    a single deferred Montgomery reduction per output (field.redc_cols16)."""
+    lead = state.shape[1:-2]
+    B = state.shape[-1]
+    s = state.reshape((4, -1, 14, B))          # [4, L, 14, B]
+    L = s.shape[1]
+    planes = []
+    for limb in range(4):
+        planes.append(s[limb] & np.uint32(0xFF))
+        planes.append(s[limb] >> 8)
+    sf = jnp.stack(planes).astype(jnp.bfloat16)        # [8, L, 14, B]
+    sflat = sf.transpose(0, 2, 1, 3).reshape(112, L * B)
+    mbig = _mxu_table(mds_table)
+    cols = jnp.dot(mbig, sflat,
+                   preferred_element_type=jnp.float32)  # [210, L*B]
+    colsu = cols.astype(jnp.uint32).reshape(15, 14, L, B)
+    t16 = [colsu[2 * j] + (colsu[2 * j + 1] << 8) if 2 * j + 1 < 15
+           else colsu[2 * j] for j in range(8)]
+    out = F.redc_cols16(t16, 14)               # [4, 14, L, B]
+    return out.transpose(0, 2, 1, 3).reshape(state.shape)
+
+
 def mds_apply(state, mds_table=None, xp=jnp):
     """MDS matrix-vector product. state: [4, ..., 14, B] -> same shape.
 
@@ -49,6 +122,8 @@ def mds_apply(state, mds_table=None, xp=jnp):
     """
     if mds_table is None:
         mds_table = MDS
+    if xp is jnp and _mds_mxu_enabled():
+        return _mds_apply_mxu(state, mds_table)
     lead = state.ndim - 3  # extra axes between limbs and the (14, B) tail
     m = xp.asarray(mds_table).reshape((4,) + (1,) * lead + (14, 14, 1))
     s = state[..., None, :, :]  # [4, ..., 1, 14, B]

@@ -66,3 +66,18 @@ def test_native_blake3_matches_python_oracle():
     for n in (0, 1, 63, 64, 65, 104, 1023, 1024, 1025, 2048, 3000, 5000, 9000):
         data = rng.integers(0, 256, size=n, dtype=np.uint8).tobytes()
         assert NV.blake3(data) == B3.blake3_bytes(data), n
+
+
+def test_chunked_hash_columns_matches_unchunked():
+    """engine.kernels.hash_columns_chunked_kernel (lax.map segments, used by
+    _commit on large accelerator domains) must equal the one-shot kernel."""
+    from certificate_stark_tpu.engine import kernels as K
+
+    rng = np.random.default_rng(11)
+    k, B, chunk = 5, 64, 16
+    vals = rng.integers(0, F.P, size=(k, B), dtype=np.uint64)
+    cols = jnp.asarray(F.from_int(vals))
+    h = get_hasher("blake3")
+    ref = np.asarray(K.hash_columns_kernel(h, cols.shape)(cols))
+    got = np.asarray(K.hash_columns_chunked_kernel(h, cols.shape, chunk)(cols))
+    assert np.array_equal(ref, got)

@@ -53,3 +53,21 @@ def test_inv_sbox_is_cube_root():
     cubed = R.sbox(st)
     back = jax.jit(R.inv_sbox)(cubed)
     assert np.array_equal(np.asarray(back), np.asarray(st))
+
+
+def test_mds_mxu_path_matches_mul_sum():
+    """The MXU byte-plane MDS (ops/rescue._mds_apply_mxu) must be bit-exact
+    vs the deferred-REDC VPU dot, for both tables."""
+    import numpy as np
+    import jax.numpy as jnp
+    from certificate_stark_tpu.ops import field as F
+    from certificate_stark_tpu.ops import rescue as R
+
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, F.P, size=(2, 14, 65), dtype=np.uint64)
+    st = jnp.asarray(F.from_int(vals.astype(object)))
+    for tbl in (R.MDS, R.INV_MDS):
+        ref = F.mul_sum(jnp.asarray(tbl).reshape((4, 1, 14, 14, 1)),
+                        st[:, :, None, :, :], axis=-2)
+        got = R._mds_apply_mxu(st, tbl)
+        assert np.array_equal(np.asarray(got), np.asarray(ref))
