@@ -9,6 +9,8 @@ per-point callback — the whole constraint system becomes one fused XLA kernel.
 """
 from __future__ import annotations
 
+import math
+
 from dataclasses import dataclass
 
 import numpy as np
@@ -139,11 +141,15 @@ class Air:
         return out
 
     def periodic_lde(self, blowup: int, offset: int) -> np.ndarray:
-        """Periodic columns extended to the LDE domain: [4, n_cols, b*n].
+        """Periodic columns extended to the LDE domain, COMPACT form:
+        [4, n_cols, L] with L = blowup * lcm(cycle lengths).
 
-        Host-side (python-int NTT over the small cycle, then tiled): the
-        column poly is p(x^(n/t)), which has period blowup*t on the coset.
-        Returns a concrete numpy limb array (compile-time constant)."""
+        The column poly is p(x^(n/t)), which has period blowup*t on the
+        coset — so one period block carries the whole LDE; consumers tile
+        it to their segment (bn // L repeats for the full domain). Keeping
+        the compact block instead of the tiled domain saves b*n-scale host
+        and device memory (48 cols x 2^23 = 6.4 GB for the 1024-tx
+        composed AIR). Returns a concrete numpy limb array."""
         from ..utils import poly_host as PH
         from ..utils import native as NAT
         cols = self.periodic_columns()
@@ -151,6 +157,10 @@ class Air:
             return None
         n = self.trace_length
         native = NAT.available()
+        lengths = [len(col) for col in cols]
+        lcm = 1
+        for t in lengths:
+            lcm = lcm * t // math.gcd(lcm, t)
         arrs = []
         for col in np.asarray(cols, dtype=object):
             t = len(col)
@@ -166,5 +176,5 @@ class Air:
                           for i, c in enumerate(coeffs)]
                 ext = PH.ntt(scaled + [0] * ((blowup - 1) * t))
                 ext_l = F.from_int(np.array(ext, dtype=object))
-            arrs.append(np.tile(ext_l, n // t))
+            arrs.append(np.tile(ext_l, lcm // t))
         return np.stack(arrs, axis=1)

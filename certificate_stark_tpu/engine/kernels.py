@@ -54,3 +54,30 @@ def hash_columns_chunked_kernel(hasher, shape_key, chunk):
             return out.reshape(out.shape[:-2] + (-1,))
         _CACHE[key] = jax.jit(fn)
     return _CACHE[key]
+
+
+def hash_columns_packed_kernel(hasher, shape_key, chunk, bn):
+    """hash_columns over a PACKED trace LDE [2, w, bn+tail] (see
+    field.pack2 / Prover._pick_pack_lde): per-chunk dynamic_slice + unpack +
+    hash, so the 4-limb form only ever exists one chunk at a time. Hashes
+    the first `bn` leaves (the wrap tail is excluded)."""
+    import jax.numpy as jnp
+
+    from ..ops import field as F
+
+    key = ("hashcols_p", hasher.name, shape_key, chunk, bn)
+    if key not in _CACHE:
+        nch = bn // chunk
+
+        def fn(packed):
+            def body(i):
+                blk = jax.lax.dynamic_slice(
+                    packed, (0, 0, i * chunk),
+                    (2, packed.shape[1], chunk))
+                return hasher.hash_columns(F.unpack2(blk))
+
+            leaves = jax.lax.map(body, jnp.arange(nch, dtype=jnp.int32))
+            out = jnp.moveaxis(leaves, 0, -2)
+            return out.reshape(out.shape[:-2] + (-1,))
+        _CACHE[key] = jax.jit(fn)
+    return _CACHE[key]

@@ -117,7 +117,10 @@ def _gather_query_data(lde, h_rows, groups, pos, leaf_idxs):
             # gather each source separately and concatenate the [.., Q]-sized
             # results — concatenating the full-domain arrays first would
             # materialize a second (w+k*d) x bn array if XLA doesn't fuse
-            rows = jnp.concatenate([jnp.take(lde_, pos_, axis=-1),
+            tr = jnp.take(lde_, pos_, axis=-1)
+            if lde_.shape[0] == 2:       # packed-LDE layout (_pick_pack_lde)
+                tr = F.unpack2(tr)
+            rows = jnp.concatenate([tr,
                                     jnp.take(h_rows_, pos_, axis=-1)], axis=1)
             fri = [jnp.take(
                 gr.transpose(0, 2, 1, 3).reshape(4, -1, gr.shape[-1]),
@@ -156,7 +159,9 @@ _PHASE_CACHE = {}
 
 _PHASE_ATTRS = ("phase_trace", "phase_composition", "phase_composition_pre",
                 "phase_ood", "phase_deep", "_fri_kernels", "_b_struct",
-                "_nt", "_fri_native")
+                "_nt", "_fri_native", "phase_trace_coeffs",
+                "_lde_group_packed", "_write_cols", "phase_composition_p",
+                "phase_deep_p")
 
 
 _XS_CACHE = {}
@@ -189,11 +194,14 @@ class Prover:
         self.k = air.ce_blowup()
         self.degrees = air.transition_degrees()
         self.assertions = air.assertions()
+        # compact periodic block [4, P, L], L = blowup * lcm(cycles); tiled
+        # to the consumer's segment on demand (_periodic_tiled)
         self._periodic = air.periodic_lde(self.b, self.offset)
         self._native_kind = self._pick_native_eval()
         self._native_ntt = self._pick_native_ntt()
         self._eval_chunk = self._pick_eval_chunk()
         self._lde_cols = self._pick_lde_cols()
+        self._pack_lde = self._pick_pack_lde()
         self._periodic_u64 = None
         key = self._cache_key()
         if key not in _PHASE_CACHE:
@@ -220,7 +228,8 @@ class Prover:
         return (type(self).__name__, type(self.air).__name__, self.n, self.w,
                 repr(self.opts), self.hasher.name,
                 getattr(self.air, "depth", None), self._native_kind,
-                self._native_ntt, self._eval_chunk, self._lde_cols)
+                self._native_ntt, self._eval_chunk, self._lde_cols,
+                self._pack_lde)
 
     def _pick_eval_chunk(self):
         """Domain-chunked constraint evaluation (lax.map over contiguous
@@ -242,6 +251,13 @@ class Prover:
                 return None
         except Exception:  # noqa: BLE001
             return None
+        # NOTE on sizing (v5e, transaction AIR): the standalone eval body is
+        # latency-bound — per-chunk wall is ~constant 165-190 ms from 8k to
+        # 256k points — so bigger chunks look ~linearly faster. BUT the
+        # fused eval+composition body produces a WRONG composition poly at
+        # 64k points (OOD consistency fails; XLA:TPU miscompile under
+        # investigation), while 8k verifies end-to-end. Stay at the largest
+        # verified size; raise only with a passing proof at the new size.
         return 8192
 
     def _pick_lde_cols(self):
@@ -263,6 +279,37 @@ class Prover:
         except Exception:  # noqa: BLE001
             return None
         return max(1, (1 << 24) // self.bn)
+
+    def _pick_pack_lde(self):
+        """Keep the trace LDE resident as packed 2x32-bit words (+ a
+        blowup-length wrap tail) instead of 4x16-bit limbs, and feed every
+        consumer (commit, constraint eval, DEEP, query gathers) per-chunk
+        unpacked slices. Halves the dominant resident array — the 2^23-point
+        94-column LDE of the 1024-tx composed AIR is 12.6 GB as limbs,
+        6.3 GB packed, against 16 GB of v5e HBM. Default: accelerator
+        backends when the limb LDE exceeds 2 GB and the chunked paths are
+        shape-compatible. CSTARK_PACK_LDE=0/1 overrides."""
+        import os
+        if type(self) is not Prover:
+            return False         # sharded prover has its own memory layout
+        if self._native_kind or self._native_ntt:
+            return False         # host-native paths want limb/u64 arrays
+        S = self._eval_chunk
+        shape_ok = (S and self.bn > S and self.bn % S == 0
+                    and self._lde_cols
+                    and (self._periodic is None
+                         or S % self._periodic.shape[-1] == 0))
+        if not shape_ok:
+            return False
+        v = os.environ.get("CSTARK_PACK_LDE")
+        if v is not None:
+            return v != "0"
+        try:
+            if jax.default_backend() == "cpu":
+                return False
+        except Exception:  # noqa: BLE001
+            return False
+        return 16 * self.w * self.bn > (2 << 30)
 
     def _pick_native_eval(self):
         """Use the native C constraint evaluator (native/air_eval.c) on the
@@ -323,9 +370,15 @@ class Prover:
         from ..utils import native as NAT
         nxt_u = np.roll(lde_u, -self.b, axis=-1)
         if self._periodic_u64 is None:
-            self._periodic_u64 = F.pack_u64(self._periodic)
+            self._periodic_u64 = F.pack_u64(self._periodic_tiled(self.bn))
         return NAT.eval_air(self._native_kind, lde_u, nxt_u,
                             self._periodic_u64, len(self.degrees))
+
+    def _periodic_tiled(self, length: int) -> np.ndarray:
+        """Tile the compact periodic block to `length` LDE-domain points."""
+        per = self._periodic
+        assert length % per.shape[-1] == 0
+        return np.tile(per, length // per.shape[-1])
 
     def _native_evals(self, lde):
         """Host-side constraint evaluation -> stacked evals [4, C, bn]."""
@@ -562,6 +615,10 @@ class Prover:
             # contiguous segments keeps peak memory at the per-chunk working
             # set; one compiled body for all segments.
             nch = bn // S
+            # a compact periodic block ([4, P, S]: one chunk period, see
+            # _periodic_tiled) is identical for every segment -> captured,
+            # not mapped; a full-domain block is segmented like the LDE
+            per_compact = periodic if periodic.shape[-1] == S else None
 
             def ch(x):
                 x = jnp.asarray(x)
@@ -570,14 +627,18 @@ class Prover:
 
             def body(xs_):
                 cur, nx, per, bev, zt, xpt, bxp, biz = xs_
+                if per_compact is not None:
+                    per = per_compact
                 evals = air.evaluate_transition(BASE, cur, nx, per)
                 if isinstance(evals, (list, tuple)):
                     evals = jnp.stack(evals, axis=1)
                 return _pointwise_comp(evals, cur, zt, xpt, bxp, biz, bev,
                                        t_alpha, t_beta, b_alpha, b_beta)
 
+            per_mapped = (ch(periodic) if per_compact is None else
+                          jnp.zeros((nch, 4, 0, S), jnp.uint32))
             comp_c = jax.lax.map(body, (
-                ch(lde), ch(nxt), ch(periodic),
+                ch(lde), ch(nxt), per_mapped,
                 tuple(ch(be) for be in b_evals),
                 ch(zt_inv),
                 tuple(ch(x) for x in xp_t_full),
@@ -686,6 +747,94 @@ class Prover:
             deep_c = jax.lax.map(body, (ch(lde), ch(h_lde), ch(xs)))
             return jnp.moveaxis(deep_c, 0, -2).reshape(4, d, bn)
 
+        # ---- packed-LDE variants (see _pick_pack_lde) ---------------------
+        self.phase_trace_coeffs = None
+        self._lde_group_packed = None
+        self._write_cols = None
+        self.phase_composition_p = None
+        self.phase_deep_p = None
+        if self._pack_lde:
+            S = eval_chunk
+            nch = bn // S
+            kk = self.k
+
+            @jax.jit
+            def phase_trace_coeffs(trace):
+                if lde_cols is None or w <= lde_cols:
+                    return NTT.intt(trace)
+                return _map_col_groups(NTT.intt, trace, lde_cols)
+
+            @jax.jit
+            def lde_group_packed(cf_g):
+                """coeffs group [4, wc, n] -> packed LDE + wrap [2, wc, bn+b]."""
+                pk = F.pack2(lde_big(cf_g))
+                return jnp.concatenate([pk, pk[..., :b]], axis=-1)
+
+            def write_cols(buf, blk, start):
+                return jax.lax.dynamic_update_slice(buf, blk, (0, start, 0))
+            write_cols = jax.jit(write_cols, donate_argnums=0)
+
+            def _dsl(tbl, st, SS=S):
+                tbl = jnp.asarray(tbl)
+                return jax.lax.dynamic_slice(
+                    tbl, (0,) * (tbl.ndim - 1) + (st,),
+                    tbl.shape[:-1] + (SS,))
+
+            @jax.jit
+            def phase_composition_p(lde_p, t_alpha, t_beta, b_alpha, b_beta,
+                                    periodic, b_evals):
+                """lde_p: packed + wrap tail [2, w, bn+b]; periodic: ONE
+                chunk segment [4, P, S] (chunk-invariant: S is a multiple of
+                the periodic period — asserted by _pick_pack_lde)."""
+                def body(i):
+                    st = i * S
+                    cur = F.unpack2(jax.lax.dynamic_slice(
+                        lde_p, (0, 0, st), (2, w, S)))
+                    nx = F.unpack2(jax.lax.dynamic_slice(
+                        lde_p, (0, 0, st + b), (2, w, S)))
+                    evals = air.evaluate_transition(BASE, cur, nx, periodic)
+                    if isinstance(evals, (list, tuple)):
+                        evals = jnp.stack(evals, axis=1)
+                    return _pointwise_comp(
+                        evals, cur, _dsl(zt_inv, st),
+                        [_dsl(x, st) for x in xp_t_full],
+                        [_dsl(x, st) for x in b_xp_full],
+                        [_dsl(x, st) for x in b_iz_full],
+                        [_dsl(be, st) for be in b_evals],
+                        t_alpha, t_beta, b_alpha, b_beta)
+
+                comp_c = jax.lax.map(body, jnp.arange(nch, dtype=jnp.int32))
+                comp = jnp.moveaxis(comp_c, 0, -2).reshape(4, d, bn)
+                return _finish(comp)
+
+            @jax.jit
+            def phase_deep_p(lde_p, h_lde, ood_z, ood_zg, ood_h,
+                             g_z, g_zg, g_h, z):
+                zg = F.mul(z, jnp.broadcast_to(_limb(g_trace)[:, None],
+                                               z.shape))
+                zk = z
+                for _ in range(kk.bit_length() - 1):
+                    zk = XF.ext_mul(zk[:, :, None], zk[:, :, None], d)[:, :, 0]
+
+                def body(i):
+                    st = i * S
+                    lde_c = F.unpack2(jax.lax.dynamic_slice(
+                        lde_p, (0, 0, st), (2, w, S)))
+                    h_c = jax.lax.dynamic_slice(
+                        h_lde, (0, 0, 0, st), (4, d, kk, S))
+                    return _deep_pointwise(lde_c, h_c, _dsl(xs, st), ood_z,
+                                           ood_zg, ood_h, g_z, g_zg, g_h,
+                                           z, zg, zk)
+
+                deep_c = jax.lax.map(body, jnp.arange(nch, dtype=jnp.int32))
+                return jnp.moveaxis(deep_c, 0, -2).reshape(4, d, bn)
+
+            self.phase_trace_coeffs = phase_trace_coeffs
+            self._lde_group_packed = lde_group_packed
+            self._write_cols = write_cols
+            self.phase_composition_p = phase_composition_p
+            self.phase_deep_p = phase_deep_p
+
         self.phase_trace = phase_trace
         self.phase_composition = phase_composition
         self.phase_composition_pre = phase_composition_pre
@@ -778,6 +927,29 @@ class Prover:
         return commit_kernel, fold_kernel
 
     # ------------------------------------------------------------------
+    def _build_lde_packed(self, coeffs):
+        """Packed trace LDE with wrap tail [2, w, bn+b], built group-by-group
+        into a donated buffer: peak device memory = the packed buffer plus
+        ONE column group's limb-form working set (vs. the full 4-limb LDE +
+        a stacked lax.map copy)."""
+        w, b, bn = self.w, self.b, self.bn
+        wc = self._lde_cols or w
+        buf = jnp.zeros((2, w, bn + b), jnp.uint32)
+        for g0 in range(0, w, wc):
+            g1 = min(w, g0 + wc)
+            blk = self._lde_group_packed(coeffs[:, g0:g1])
+            buf = self._write_cols(buf, blk, g0)
+        return buf
+
+    def _commit_packed(self, hasher, lde_p):
+        """Merkle-commit the packed LDE: per-chunk unpack + hash (the wrap
+        tail is excluded)."""
+        from . import kernels as K
+        leaves = K.hash_columns_packed_kernel(
+            hasher, lde_p.shape, min(_COMMIT_CHUNK, self.bn), self.bn)(lde_p)
+        return K.tree_levels(hasher, leaves)
+
+    # ------------------------------------------------------------------
     def _draw_coeffs(self, coin, count):
         """count extension coefficients -> [4, count, d] (element-major)."""
         vals = [coin.draw_felts(self.d) for _ in range(count)]
@@ -809,11 +981,21 @@ class Prover:
         tm = _PhaseTimer()
         ck = checkpoint
 
+        if ck and self._pack_lde:
+            raise ValueError("phase checkpointing is not supported with the "
+                             "packed-LDE memory layout (CSTARK_PACK_LDE=0 to "
+                             "checkpoint large proofs)")
         data = ck.load("trace") if ck else None
         if data is not None:
             trace_coeffs = jnp.asarray(data["trace_coeffs"])
             lde = jnp.asarray(data["lde"])
             t_levels = [jnp.asarray(x) for x in ck.unpack_levels(data)]
+        elif self._pack_lde:
+            trace_coeffs = self.phase_trace_coeffs(trace)
+            del trace  # free the limb trace: coeffs carry everything forward
+            lde = self._build_lde_packed(trace_coeffs)  # [2, w, bn+b] packed
+            tm.mark("trace LDE", lde)
+            t_levels = self._commit_packed(hasher, lde)
         else:
             if self._native_ntt:
                 trace_coeffs, lde = self._native_lde(trace)
@@ -858,10 +1040,20 @@ class Prover:
                     evals, lde, t_alpha, t_beta, b_alpha, b_beta,
                     self._b_evals)
             else:
-                h_coeffs, h_lde = self.phase_composition(
-                    lde, t_alpha, t_beta, b_alpha, b_beta,
-                    jnp.asarray(self._periodic) if self._periodic is not None
-                    else jnp.zeros((4, 0, self.bn), jnp.uint32), self._b_evals)
+                S = self._eval_chunk
+                if self._periodic is None:
+                    per = jnp.zeros(
+                        (4, 0, S if self._pack_lde else bn), jnp.uint32)
+                elif (S and bn > S and bn % S == 0
+                        and S % self._periodic.shape[-1] == 0):
+                    # chunked eval: one periodic segment serves every chunk
+                    per = jnp.asarray(self._periodic_tiled(S))
+                else:
+                    per = jnp.asarray(self._periodic_tiled(bn))
+                compose = (self.phase_composition_p if self._pack_lde
+                           else self.phase_composition)
+                h_coeffs, h_lde = compose(
+                    lde, t_alpha, t_beta, b_alpha, b_beta, per, self._b_evals)
             tm.mark("constraint eval", h_lde)
             h_levels = _commit(
                 hasher, h_lde.transpose(0, 2, 1, 3).reshape(4, k * d, bn),
@@ -901,8 +1093,10 @@ class Prover:
                 deep = self._native_deep(lde_u, h_u, z_ints, ood_z_l,
                                          ood_zg_l, ood_h_l, g_z, g_zg, g_h)
             else:
-                deep = self.phase_deep(lde, h_lde, ood_z_l, ood_zg_l, ood_h_l,
-                                       g_z, g_zg, g_h, z)
+                deep_fn = (self.phase_deep_p if self._pack_lde
+                           else self.phase_deep)
+                deep = deep_fn(lde, h_lde, ood_z_l, ood_zg_l, ood_h_l,
+                               g_z, g_zg, g_h, z)
             if ck:
                 ck.save("deep", ood_z=ood_z_l, ood_zg=ood_zg_l,
                         ood_h=ood_h_l, deep=deep)

@@ -21,8 +21,11 @@ RANGE_LOG = 64
 
 def build_trace(number: int) -> jnp.ndarray:
     """Host-built (tiny) trace: [4, 2, 64] Montgomery limbs."""
-    number = int(number) % F.P
-    assert number < (1 << 63)
+    number = int(number)
+    if not 0 <= number < F.P:
+        # reference parity: field construction panics on value >= modulus and
+        # on negative inputs under debug (src/range/tests.rs:54-73)
+        raise ValueError(f"range input {number} outside the field [0, p)")
     bits = [(number >> i) & 1 for i in range(RANGE_LOG)]  # LSB first
     col_bit = [0]
     col_acc = [0]
@@ -67,9 +70,9 @@ class RangeExample:
     """Mirrors src/range/mod.rs RangeProofExample."""
 
     def __init__(self, number: int, options):
-        self.number = int(number) % F.P
+        self.number = int(number)
         self.options = options
-        self.trace = build_trace(self.number)
+        self.trace = build_trace(self.number)  # validates 0 <= number < p
 
     def prove(self):
         from ..engine import prover as PR

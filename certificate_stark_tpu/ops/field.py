@@ -540,3 +540,20 @@ def redc_cols16(t_cols, J, xp=jnp):
         sub5 = _sub_limbs_n(u, ps)
         u = [xp.where(ge, x, y) for x, y in zip(sub5, u)]
     return xp.stack(u[:4], axis=0)
+
+
+def pack2(limbs, xp=jnp):
+    """[4, ...] 16-bit limbs (u32 containers) -> packed 32-bit words [2, ...].
+
+    Storage-halving representation for large resident arrays (the 2^23-point
+    trace LDE is 12.6 GB as limbs, 6.3 GB packed); values stay in Montgomery
+    form. Cheap VPU shifts/ors both ways (see unpack2)."""
+    s = np.uint32(16)
+    return xp.stack([limbs[0] | (limbs[1] << s), limbs[2] | (limbs[3] << s)])
+
+
+def unpack2(packed, xp=jnp):
+    """Inverse of pack2: [2, ...] u32 words -> [4, ...] 16-bit limbs."""
+    m, s = MASK16, np.uint32(16)
+    return xp.stack([packed[0] & m, packed[0] >> s,
+                     packed[1] & m, packed[1] >> s])

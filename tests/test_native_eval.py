@@ -53,7 +53,7 @@ def test_native_eval_bit_identical(kind):
     p = PR.Prover(air)
     _, lde = p.phase_trace(ex.trace)
     nxt = jnp.roll(lde, -p.b, axis=-1)
-    periodic = jnp.asarray(p._periodic)
+    periodic = jnp.asarray(p._periodic_tiled(p.bn))
     dev = jax.jit(lambda l, n, pp: air.evaluate_transition(BASE, l, n, pp))(
         lde, nxt, periodic)
     ref = F.pack_u64(np.asarray(dev))

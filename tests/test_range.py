@@ -45,3 +45,17 @@ def test_range_with_grinding():
     proof = ex.prove()
     assert proof.pow_nonce >= 0
     assert ex.verify(proof)
+
+
+def test_range_modulus_input_rejected():
+    """Input == field modulus must be refused, not silently wrapped
+    (reference #[should_panic], src/range/tests.rs:54-62)."""
+    with pytest.raises(ValueError):
+        RG.RangeExample(P, OPTS)
+
+
+def test_range_negative_input_rejected():
+    """Negative input must be refused (reference debug panic,
+    src/range/tests.rs:64-73)."""
+    with pytest.raises(ValueError):
+        RG.RangeExample(-5, OPTS)
