@@ -808,8 +808,11 @@ class Prover:
                 return _finish(comp)
 
             @jax.jit
-            def phase_deep_p(lde_p, h_lde, ood_z, ood_zg, ood_h,
+            def phase_deep_p(lde_p, h_rows, ood_z, ood_zg, ood_h,
                              g_z, g_zg, g_h, z):
+                """h_rows: the commit layout [4, k*d, bn] (row = ki*d + di),
+                so the [4, d, k, bn] h_lde can be freed after the h-commit
+                instead of keeping both layouts resident."""
                 zg = F.mul(z, jnp.broadcast_to(_limb(g_trace)[:, None],
                                                z.shape))
                 zk = z
@@ -821,7 +824,8 @@ class Prover:
                     lde_c = F.unpack2(jax.lax.dynamic_slice(
                         lde_p, (0, 0, st), (2, w, S)))
                     h_c = jax.lax.dynamic_slice(
-                        h_lde, (0, 0, 0, st), (4, d, kk, S))
+                        h_rows, (0, 0, st), (4, kk * d, S)) \
+                        .reshape(4, kk, d, S).transpose(0, 2, 1, 3)
                     return _deep_pointwise(lde_c, h_c, _dsl(xs, st), ood_z,
                                            ood_zg, ood_h, g_z, g_zg, g_h,
                                            z, zg, zk)
@@ -1062,6 +1066,8 @@ class Prover:
                 ck.save_levels("composition", {"h_coeffs": h_coeffs,
                                                "h_lde": h_lde}, h_levels)
         h_rows = h_lde.transpose(0, 2, 1, 3).reshape(4, k * d, bn)
+        if self._pack_lde:
+            del h_lde  # packed mode: DEEP reads h_rows; free the 2nd layout
         h_tree = M.MerkleTree.from_levels(hasher, h_levels)
         tm.mark("composition commit", h_tree.levels[-1])
         coin.reseed(h_tree.root())
@@ -1079,6 +1085,8 @@ class Prover:
         ood_z = self._flat(ood_z_l)
         ood_zg = self._flat(ood_zg_l)
         ood_h = self._flat(ood_h_l)
+        if self._pack_lde:
+            del trace_coeffs, h_coeffs  # only the OOD evals are needed now
         coin.reseed(hasher.host_digest(ood_z + ood_zg + ood_h))
 
         g_z = self._draw_coeffs(coin, w).transpose(0, 2, 1)   # [4, d, w]
@@ -1092,11 +1100,12 @@ class Prover:
                     F.pack_u64(np.asarray(h_lde)).reshape(d * k, bn))
                 deep = self._native_deep(lde_u, h_u, z_ints, ood_z_l,
                                          ood_zg_l, ood_h_l, g_z, g_zg, g_h)
+            elif self._pack_lde:
+                deep = self.phase_deep_p(lde, h_rows, ood_z_l, ood_zg_l,
+                                         ood_h_l, g_z, g_zg, g_h, z)
             else:
-                deep_fn = (self.phase_deep_p if self._pack_lde
-                           else self.phase_deep)
-                deep = deep_fn(lde, h_lde, ood_z_l, ood_zg_l, ood_h_l,
-                               g_z, g_zg, g_h, z)
+                deep = self.phase_deep(lde, h_lde, ood_z_l, ood_zg_l, ood_h_l,
+                                       g_z, g_zg, g_h, z)
             if ck:
                 ck.save("deep", ood_z=ood_z_l, ood_zg=ood_zg_l,
                         ood_h=ood_h_l, deep=deep)

@@ -60,11 +60,20 @@ def bitrev_indices(n: int) -> jnp.ndarray:
 
 
 def ntt(a: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
-    """Radix-2 NTT along the last axis. a: limb array [4, ..., n] (Montgomery).
+    """NTT along the last axis. a: limb array [4, ..., n] (Montgomery).
 
     Forward maps coefficients -> evaluations at [w^0..w^(n-1)] (natural order).
     Inverse maps evaluations -> coefficients (includes the 1/n scale).
+    Routes to the MXU matmul form on accelerator backends (see ntt_mxu);
+    both paths are bit-identical.
     """
+    if a.shape[-1] >= _DFT_MIN and _use_mxu_ntt():
+        return ntt_mxu(a, inverse)
+    return _ntt_butterfly(a, inverse)
+
+
+def _ntt_butterfly(a: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
+    """Radix-2 butterfly NTT (VPU / XLA:CPU path)."""
     n = a.shape[-1]
     assert n & (n - 1) == 0
     if n == 1:
@@ -193,3 +202,147 @@ def sum_reduce(a, axis: int = -1, xp=jnp):
         a = F.add(a[..., 0::2], a[..., 1::2], xp)
         n = a.shape[-1]
     return a[..., 0]
+
+
+# ---------------------------------------------------------------------------
+# MXU matmul NTT: the size-128 DFT of a four-step decomposition as ONE
+# byte-plane bf16 matmul (exact f32 accumulation + deferred Montgomery
+# reduction, like the Rescue MDS path in ops/rescue.py). Butterfly NTTs are
+# latency-bound VPU chains on TPU; the MXU form turns ~all NTT work into
+# systolic-array matmuls. Bit-exact vs ntt() (tested in tests/test_ntt.py).
+
+_NTT_MXU = None
+_DFT_BASE = 128     # four-step row size handled by one matmul
+_DFT_MIN = 64       # below this, the skinny matmul loses to radix-2 on VPU
+_DFT_JCHUNK = 32    # j-chunk: 32*8 byte-pair products * 255^2 < 2^24 (exact)
+_dft_tbl_cache: dict = {}
+
+
+def _use_mxu_ntt() -> bool:
+    """MXU NTT gate: on for accelerator backends, off on XLA:CPU (matmul
+    DFTs lose to the native C NTT there). CSTARK_NTT_MXU=0/1 overrides."""
+    global _NTT_MXU
+    if _NTT_MXU is None:
+        import os
+        v = os.environ.get("CSTARK_NTT_MXU")
+        if v is not None:
+            _NTT_MXU = v != "0"
+        else:
+            try:
+                import jax
+                _NTT_MXU = jax.default_backend() != "cpu"
+            except Exception:  # noqa: BLE001
+                _NTT_MXU = False
+    return _NTT_MXU
+
+
+def _dft_tables(nb: int, inverse: bool):
+    """Block byte-plane DFT-nb matrices for the MXU, j-chunked for exact f32
+    accumulation: list of [15*nb, 8*_DFT_JCHUNK] bf16 host arrays.
+
+    Row block (k, r) = byte-weight k of output row r; column block (q, jj) =
+    byte-plane q of input column j0+jj. Entries carry the Montgomery-form
+    DFT matrix D[r, j] = w_nb^(r*j) (with the 1/nb scale folded in for the
+    inverse), so REDC of the accumulated products matches F.mul exactly."""
+    import jax.numpy as jnp_
+
+    key = (nb, inverse)
+    tbl = _dft_tbl_cache.get(key)
+    if tbl is None:
+        w = root_of_unity(nb)
+        scale = 1
+        if inverse:
+            w = pow(w, F.P - 2, F.P)
+            scale = pow(nb, F.P - 2, F.P)
+        col = np.empty((nb, nb), dtype=object)
+        for r in range(nb):
+            wr = pow(w, r, F.P)
+            v = scale
+            for j in range(nb):
+                col[r, j] = v
+                v = v * wr % F.P
+        m = F.from_int(col)                          # [4, nb, nb] Montgomery
+        planes = np.zeros((8, nb, nb), dtype=np.float32)
+        for limb in range(4):
+            planes[2 * limb] = (m[limb] & 0xFF).astype(np.float32)
+            planes[2 * limb + 1] = (m[limb] >> 8).astype(np.float32)
+        jc = min(_DFT_JCHUNK, nb)
+        blocks = []
+        for j0 in range(0, nb, jc):
+            big = np.zeros((15 * nb, 8 * jc), dtype=np.float32)
+            for k in range(15):
+                for q in range(8):
+                    p = k - q
+                    if 0 <= p < 8:
+                        big[k * nb:(k + 1) * nb, q * jc:(q + 1) * jc] = \
+                            planes[p][:, j0:j0 + jc]
+            blocks.append(big.astype(jnp_.bfloat16))
+        tbl = blocks
+        _dft_tbl_cache[key] = tbl
+    return tbl
+
+
+def _dft_apply_mxu(x: jnp.ndarray, inverse: bool) -> jnp.ndarray:
+    """DFT over the last axis (length nb <= 128) via byte-plane matmuls."""
+    nb = x.shape[-1]
+    jc = min(_DFT_JCHUNK, nb)
+    lead = x.shape[1:-1]
+    L = 1
+    for d_ in lead:
+        L *= d_
+    s = x.reshape(4, L, nb)
+    planes = []
+    for limb in range(4):
+        planes.append(s[limb] & np.uint32(0xFF))
+        planes.append(s[limb] >> np.uint32(8))
+    sp = jnp.stack(planes).astype(jnp.bfloat16)          # [8, L, nb]
+    acc = None
+    for c, big in enumerate(_dft_tables(nb, inverse)):
+        sf = sp[:, :, c * jc:(c + 1) * jc]
+        sflat = sf.transpose(0, 2, 1).reshape(8 * jc, L)
+        cols = jnp.dot(jnp.asarray(big), sflat,
+                       preferred_element_type=jnp.float32)  # [15*nb, L]
+        u = cols.astype(jnp.uint32)
+        acc = u if acc is None else acc + u
+    colsu = acc.reshape(15, nb, L)                       # values < 2^26
+    # fold to bytes (carry-normalize), then to 16-bit-weight u32 lanes for
+    # the deferred Montgomery reduction
+    mask8 = np.uint32(0xFF)
+    zero = jnp.zeros_like(colsu[0])
+    b = []
+    carry = zero
+    for k in range(18):
+        v = (colsu[k] if k < 15 else zero) + carry
+        b.append(v & mask8)
+        carry = v >> np.uint32(8)
+    t16 = [b[2 * k] + (b[2 * k + 1] << np.uint32(8)) for k in range(7)]
+    t16.append(b[14] + (b[15] << np.uint32(8)) + (b[16] << np.uint32(16))
+               + (b[17] << np.uint32(24)))
+    out = F.redc_cols16(t16, nb)                         # [4, nb, L]
+    return out.transpose(0, 2, 1).reshape(x.shape)
+
+
+def ntt_mxu(a: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
+    """NTT along the last axis through MXU matmul DFTs: recursive four-step
+    with n1 = 128 rows per level; small bases fall back to radix-2 on VPU.
+    Exactly equal to ntt() (same natural-order semantics)."""
+    n = a.shape[-1]
+    assert n & (n - 1) == 0
+    if n < _DFT_MIN:
+        return _ntt_butterfly(a, inverse)
+    if n <= _DFT_BASE:
+        return _dft_apply_mxu(a, inverse)
+    n1 = _DFT_BASE
+    n2 = n // n1
+    lead = a.shape[1:-1]
+
+    m = a.reshape((4,) + lead + (n2, n1))
+    m = jnp.swapaxes(m, -1, -2)                  # [4, .., n1, n2]
+    s = ntt_mxu(m, inverse)                      # columns: over i2
+    tw = _four_step_twiddles(n, n1, n2, inverse)
+    tw = tw.reshape((4,) + (1,) * len(lead) + (n1, n2))
+    s = F.mul(s, jnp.broadcast_to(tw, s.shape))
+    s = jnp.swapaxes(s, -1, -2)                  # [4, .., n2, n1]
+    s = _dft_apply_mxu(s, inverse)               # rows: over i1
+    s = jnp.swapaxes(s, -1, -2)
+    return s.reshape((4,) + lead + (n,))

@@ -73,3 +73,21 @@ def test_eval_poly_at_and_sum_reduce():
     z = 123456789
     got = int(F.to_int(np.asarray(NTT.eval_poly_at(coeffs, z))))
     assert got == naive_eval(vals[:32], [z])[0]
+
+
+def test_ntt_mxu_matches_butterfly():
+    """The MXU matmul NTT (four-step with byte-plane DFT-128 blocks,
+    ops/ntt.ntt_mxu) must be bit-identical to the radix-2 butterfly path,
+    both directions."""
+    import numpy as np
+    import jax.numpy as jnp
+    from certificate_stark_tpu.ops import field as F, ntt as NTT
+
+    rng = np.random.default_rng(5)
+    for n in (64, 512, 4096):
+        vals = rng.integers(0, F.P, size=(3, n), dtype=np.uint64)
+        a = jnp.asarray(F.from_int(vals.astype(object)))
+        for inv in (False, True):
+            ref = np.asarray(NTT._ntt_butterfly(a, inv))
+            got = np.asarray(NTT.ntt_mxu(a, inv))
+            assert np.array_equal(ref, got), (n, inv)
