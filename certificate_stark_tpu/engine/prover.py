@@ -219,7 +219,13 @@ class Prover:
                                        self.k * self.n - 1, xs)
         assert [t.key for t in tables] == [g["key"] for g in self._b_struct], \
             "assertion structure differs across instances of the same AIR shape"
-        self._b_evals = tuple(jnp.asarray(t.b_evals) for t in tables)
+        # packed mode: value-constant groups pass ONE broadcastable column
+        # ([4, g, 1]) instead of a full-domain copy (see phase_composition_p)
+        self._b_evals = tuple(
+            jnp.asarray(t.b_evals[:, :, :1])
+            if (self._pack_lde and self._b_struct[i].get("ev_compact"))
+            else jnp.asarray(t.b_evals)
+            for i, t in enumerate(tables))
         self._b_ev_u = (np.concatenate(
             [F.pack_u64(np.asarray(t.b_evals)) for t in tables], axis=0)
             if tables else np.zeros((0, self.bn), dtype=np.uint64))
@@ -774,18 +780,78 @@ class Prover:
                 return jax.lax.dynamic_update_slice(buf, blk, (0, start, 0))
             write_cols = jax.jit(write_cols, donate_argnums=0)
 
-            def _dsl(tbl, st, SS=S):
-                tbl = jnp.asarray(tbl)
-                return jax.lax.dynamic_slice(
-                    tbl, (0,) * (tbl.ndim - 1) + (st,),
-                    tbl.shape[:-1] + (SS,))
+            # ---- per-chunk protocol tables WITHOUT full-domain constants.
+            # Every full-domain table here is geometric in the point index
+            # (x_t = offset*w^t), so chunk c's block = block0 * scalar^c:
+            # only [4, S] seed blocks and [4, nch] scalar ladders are
+            # embedded (a 2^23 domain otherwise bakes ~900 MB of literals
+            # into the HLO -> HTTP 413 on the remote-compile relay).
+            assert S % b == 0
+            znum_S = np.tile(znum_inv[:, :b], S // b)          # [4, S]
+            glast_c = F.np_const(g_last).reshape(4, 1)
+            xs_blk0 = xs[:, :S]
+            xs_sc = F.np_powers(pow(gen_big, S, F.P), nch)     # [4, nch]
+            xp_blk0, xp_sc = {}, {}
+            for adj in xpow:
+                xp_blk0[adj] = xpow[adj][:, :S]
+                xp_sc[adj] = F.np_powers(pow(gen_big, adj * S, F.P), nch)
+            from .air import SequenceAssertion as _SeqA
+            b_modes = []   # per boundary group: how to produce inv_z / evals
+            for gi, grp in enumerate(b_struct):
+                key = grp["key"]
+                ev_compact = all(not isinstance(a, _SeqA)
+                                 for a in b_tables[gi].assertions)
+                grp["ev_compact"] = ev_compact
+                if key[0] == "s":
+                    c_s = F.np_const(pow(g_trace, key[1], F.P)).reshape(4, 1)
+                    b_modes.append(("inv_xs", c_s))
+                else:
+                    m_div = n // key[2]
+                    period = bn // m_div if m_div <= bn else 1
+                    if S % period == 0:
+                        b_modes.append(
+                            ("tiled",
+                             np.tile(grp["inv_z"][:, :period], S // period)))
+                    else:
+                        b_modes.append(("arg", None))
+            b_iz_args = tuple(
+                jnp.asarray(grp["inv_z"]) for grp, mode in
+                zip(b_struct, b_modes) if mode[0] == "arg")
+
+            def _sc(tbl, i):
+                """scalar column i of a [4, nch] ladder -> [4, 1]."""
+                return jax.lax.dynamic_slice(jnp.asarray(tbl), (0, i), (4, 1))
+
+            def _chunk_tables(i):
+                xs_c = F.mul(jnp.asarray(xs_blk0),
+                             jnp.broadcast_to(_sc(xs_sc, i), (4, S)))
+                zt_c = F.mul(jnp.asarray(znum_S),
+                             F.sub(xs_c, jnp.asarray(glast_c)))
+                def xp_c(adj):
+                    return F.mul(jnp.asarray(xp_blk0[adj]),
+                                 jnp.broadcast_to(_sc(xp_sc[adj], i), (4, S)))
+                biz_c = []
+                ai = 0
+                for grp, mode in zip(b_struct, b_modes):
+                    if mode[0] == "inv_xs":
+                        diff = F.sub(xs_c, jnp.asarray(mode[1]))
+                        biz_c.append(XF.ext_inv_vec(diff[:, None], 1)[:, 0])
+                    elif mode[0] == "tiled":
+                        biz_c.append(jnp.asarray(mode[1]))
+                    else:
+                        biz_c.append(jax.lax.dynamic_slice(
+                            b_iz_args[ai], (0, i * S), (4, S)))
+                        ai += 1
+                return xs_c, zt_c, xp_c, biz_c
 
             @jax.jit
             def phase_composition_p(lde_p, t_alpha, t_beta, b_alpha, b_beta,
                                     periodic, b_evals):
                 """lde_p: packed + wrap tail [2, w, bn+b]; periodic: ONE
                 chunk segment [4, P, S] (chunk-invariant: S is a multiple of
-                the periodic period — asserted by _pick_pack_lde)."""
+                the periodic period — asserted by _pick_pack_lde); b_evals:
+                [4, g, 1] for value-constant groups (broadcast), [4, g, bn]
+                for sequence groups (sliced per chunk)."""
                 def body(i):
                     st = i * S
                     cur = F.unpack2(jax.lax.dynamic_slice(
@@ -795,12 +861,16 @@ class Prover:
                     evals = air.evaluate_transition(BASE, cur, nx, periodic)
                     if isinstance(evals, (list, tuple)):
                         evals = jnp.stack(evals, axis=1)
+                    _, zt_c, xp_c, biz_c = _chunk_tables(i)
+                    bev_c = [be if be.shape[-1] == 1 else
+                             jax.lax.dynamic_slice(
+                                 be, (0, 0, st), (4, be.shape[1], S))
+                             for be in b_evals]
                     return _pointwise_comp(
-                        evals, cur, _dsl(zt_inv, st),
-                        [_dsl(x, st) for x in xp_t_full],
-                        [_dsl(x, st) for x in b_xp_full],
-                        [_dsl(x, st) for x in b_iz_full],
-                        [_dsl(be, st) for be in b_evals],
+                        evals, cur, zt_c,
+                        [xp_c(adj) for adj in adj_groups],
+                        [xp_c(grp["adj"]) for grp in b_struct],
+                        biz_c, bev_c,
                         t_alpha, t_beta, b_alpha, b_beta)
 
                 comp_c = jax.lax.map(body, jnp.arange(nch, dtype=jnp.int32))
@@ -826,7 +896,9 @@ class Prover:
                     h_c = jax.lax.dynamic_slice(
                         h_rows, (0, 0, st), (4, kk * d, S)) \
                         .reshape(4, kk, d, S).transpose(0, 2, 1, 3)
-                    return _deep_pointwise(lde_c, h_c, _dsl(xs, st), ood_z,
+                    xs_c = F.mul(jnp.asarray(xs_blk0),
+                                 jnp.broadcast_to(_sc(xs_sc, i), (4, S)))
+                    return _deep_pointwise(lde_c, h_c, xs_c, ood_z,
                                            ood_zg, ood_h, g_z, g_zg, g_h,
                                            z, zg, zk)
 

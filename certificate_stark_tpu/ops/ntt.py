@@ -59,13 +59,52 @@ def bitrev_indices(n: int) -> jnp.ndarray:
     return _bitrev_cache[n]
 
 
+# Above this transform size, twiddle/bit-reversal/coset tables are generated
+# ON DEVICE inside the jitted graph instead of being embedded as host-array
+# constants: a 2^23-point transform otherwise embeds ~230 MB of literals in
+# the HLO, which blows the remote-compile request limit (HTTP 413 on the
+# axon relay) and bloats every executable. Generation is O(log n) tensor ops.
+_DEVICE_TABLE_MIN = 1 << 21
+
+
+def powers_device(base: int, count: int) -> jnp.ndarray:
+    """[base^0 .. base^(count-1)] as Montgomery limbs [4, count], built on
+    device by log-doubling (no large embedded constant)."""
+    assert count & (count - 1) == 0
+    tbl = jnp.asarray(F.ONE_MONT).reshape(4, 1)
+    cur = base
+    k = 1
+    while k < count:
+        scale = jnp.asarray(F.np_const(cur)).reshape(4, 1)
+        tbl = jnp.concatenate(
+            [tbl, F.mul(tbl, jnp.broadcast_to(scale, tbl.shape))], axis=-1)
+        cur = cur * cur % F.P
+        k *= 2
+    return tbl
+
+
+def bitrev_device(n: int) -> jnp.ndarray:
+    """Bit-reversal permutation indices [n] int32, built on device."""
+    bits = n.bit_length() - 1
+    idx = jnp.arange(n, dtype=jnp.int32)
+    rev = jnp.zeros(n, dtype=jnp.int32)
+    for b in range(bits):
+        rev = rev | (((idx >> b) & 1) << (bits - 1 - b))
+    return rev
+
+
 def ntt(a: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
     """NTT along the last axis. a: limb array [4, ..., n] (Montgomery).
 
     Forward maps coefficients -> evaluations at [w^0..w^(n-1)] (natural order).
     Inverse maps evaluations -> coefficients (includes the 1/n scale).
-    Routes to the MXU matmul form on accelerator backends (see ntt_mxu);
-    both paths are bit-identical.
+
+    The MXU matmul form (ntt_mxu) is bit-identical and available behind
+    CSTARK_NTT_MXU=1, but MEASURED SLOWER on v5e (2.6 s vs 0.44 s at
+    [4,16,2^20] with forced device sync): the deferred-REDC byte-plane
+    expansion writes 15 f32 columns per 4-limb output plus an 18-step carry
+    fold — ~7x the butterfly's HBM traffic. The butterfly stays the default;
+    see DESIGN.md "MXU-shaped hot path" for the full measurement story.
     """
     if a.shape[-1] >= _DFT_MIN and _use_mxu_ntt():
         return ntt_mxu(a, inverse)
@@ -79,9 +118,15 @@ def _ntt_butterfly(a: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
     if n == 1:
         return a
     logn = n.bit_length() - 1
-    master = twiddles(n, inverse)  # [4, n/2]
-
-    x = jnp.take(a, bitrev_indices(n), axis=-1)
+    if n >= _DEVICE_TABLE_MIN:
+        w = root_of_unity(n)
+        if inverse:
+            w = pow(w, F.P - 2, F.P)
+        master = powers_device(w, n // 2)
+        x = jnp.take(a, bitrev_device(n), axis=-1)
+    else:
+        master = twiddles(n, inverse)  # [4, n/2]
+        x = jnp.take(a, bitrev_indices(n), axis=-1)
     lead = x.shape[1:-1]  # data axes between limb axis and transform axis
     for s in range(1, logn + 1):
         m = 1 << s
@@ -161,7 +206,10 @@ def intt(a: jnp.ndarray) -> jnp.ndarray:
 def coset_scale(coeffs: jnp.ndarray, offset: int) -> jnp.ndarray:
     """Multiply coefficient i by offset^i (evaluate-on-coset preprocessing)."""
     n = coeffs.shape[-1]
-    tbl = _powers_table(offset, n)  # [4, n]
+    if n >= _DEVICE_TABLE_MIN:
+        tbl = powers_device(offset, n)
+    else:
+        tbl = _powers_table(offset, n)  # [4, n]
     tbl = tbl.reshape((4,) + (1,) * (coeffs.ndim - 2) + (n,))
     return F.mul(coeffs, jnp.broadcast_to(tbl, coeffs.shape))
 
@@ -219,20 +267,12 @@ _dft_tbl_cache: dict = {}
 
 
 def _use_mxu_ntt() -> bool:
-    """MXU NTT gate: on for accelerator backends, off on XLA:CPU (matmul
-    DFTs lose to the native C NTT there). CSTARK_NTT_MXU=0/1 overrides."""
+    """MXU NTT gate: OFF by default everywhere — measured slower than the
+    butterfly on v5e (see ntt() docstring). CSTARK_NTT_MXU=1 opts in."""
     global _NTT_MXU
     if _NTT_MXU is None:
         import os
-        v = os.environ.get("CSTARK_NTT_MXU")
-        if v is not None:
-            _NTT_MXU = v != "0"
-        else:
-            try:
-                import jax
-                _NTT_MXU = jax.default_backend() != "cpu"
-            except Exception:  # noqa: BLE001
-                _NTT_MXU = False
+        _NTT_MXU = os.environ.get("CSTARK_NTT_MXU") == "1"
     return _NTT_MXU
 
 

@@ -65,6 +65,16 @@ def main():
         ex = TransactionExample(n, opts, depth=args.depth)
         wt = time.perf_counter() - t0
 
+        # device trace generation, synced (the async scan otherwise hides
+        # inside the first prover phase's wall time)
+        from certificate_stark_tpu.models.transaction import build_trace
+        jax.block_until_ready(build_trace(ex.md, ex.messages))  # compile
+        t0 = time.perf_counter()
+        tr = build_trace(ex.md, ex.messages)
+        np_sync = __import__("numpy").asarray(tr[:, :1, :1])
+        tg = time.perf_counter() - t0
+        del tr, np_sync
+
         t0 = time.perf_counter()
         proof = ex.prove()
         cold = time.perf_counter() - t0
@@ -89,6 +99,7 @@ def main():
             "queries": args.queries, "blowup": args.blowup,
             "ext": args.extension, "backend": backend,
             "witness_trace_s": round(wt, 2),
+            "trace_gen_dev_s": round(tg, 2),
             "cold_prove_s": round(cold, 2),
             "warm_prove_s": round(warm, 2),
             "phases": {k: round(v, 3) for k, v in cap.phases.items()},
