@@ -101,15 +101,16 @@ class RandomCoin:
 
         name = self.h.name
         if name == "rescue":
+            sl = len(self.state)
             state_l = jnp.asarray(
-                F.from_int(np.array(list(self.state), dtype=object)))  # [4,7]
+                F.from_int(np.array(list(self.state), dtype=object)))  # [4,sl]
 
             @jax.jit
             def hits(nonce_std):                       # [4, B] standard limbs
                 msgs = jnp.concatenate(
                     [jnp.broadcast_to(state_l[:, :, None],
-                                      (4, 7, nonce_std.shape[-1])),
-                     F.to_mont(nonce_std)[:, None, :]], axis=1)   # [4, 8, B]
+                                      (4, sl, nonce_std.shape[-1])),
+                     F.to_mont(nonce_std)[:, None, :]], axis=1)  # [4, sl+1, B]
                 std = F.from_mont(R.digest(msgs)[:, 0, :])        # [4, B]
                 hi = std[2] | (std[3] << jnp.uint32(16))
                 lo = std[0] | (std[1] << jnp.uint32(16))

@@ -25,20 +25,25 @@ from ..utils import rescue_ref as RR
 
 
 class RescueHasher:
-    """Algebraic hasher: digests are 7 f63 elements (Montgomery limbs on device,
-    Python ints on host)."""
+    """Algebraic hasher: commitment digests are the first 4 f63 elements of
+    the Rescue sponge output (Montgomery limbs on device, ints on host) —
+    the reference's Digest::as_bytes truncation (rescue.rs:202-211, 32 bytes,
+    ~126-bit collision resistance), adopted natively for the proof Merkle
+    trees: every authentication-path node is 32 instead of 56 bytes. The
+    in-circuit account tree (utils/account_tree.py) keeps full 7-element
+    digests — that structure is enforced by the Merkle sub-AIR."""
 
     name = "rescue"
-    digest_len = 7  # field elements
+    digest_len = 4  # field elements (truncated; ops/rescue.TRUNC_DIGEST)
 
     # -- device ------------------------------------------------------------
     def hash_columns(self, cols: jnp.ndarray) -> jnp.ndarray:
-        """cols: [4, k, B] Montgomery limbs -> [4, 7, B] digests."""
-        return R.digest(cols)
+        """cols: [4, k, B] Montgomery limbs -> [4, 4, B] truncated digests."""
+        return R.digest(cols)[:, :R.TRUNC_DIGEST]
 
     def merge_pairs(self, level: jnp.ndarray) -> jnp.ndarray:
-        """level: [4, 7, 2m] -> [4, 7, m] by merging adjacent pairs."""
-        return R.merge(level[..., 0::2], level[..., 1::2])
+        """level: [4, 4, 2m] -> [4, 4, m] by merging adjacent pairs."""
+        return R.merge4(level[..., 0::2], level[..., 1::2])
 
     # -- host (native C library when built; python-int fallback) -----------
     def __init__(self):
@@ -47,16 +52,18 @@ class RescueHasher:
 
     def host_digest(self, elements) -> tuple:
         if self._nv is not None:
-            return self._nv.digest([int(e) % F.P for e in elements])
-        return tuple(RR.digest([int(e) % F.P for e in elements]))
+            return self._nv.digest(
+                [int(e) % F.P for e in elements])[:R.TRUNC_DIGEST]
+        return tuple(
+            RR.digest([int(e) % F.P for e in elements])[:R.TRUNC_DIGEST])
 
     def host_merge(self, d0, d1) -> tuple:
         if self._nv is not None:
-            return self._nv.merge(d0, d1)
-        return tuple(RR.merge(list(d0), list(d1)))
+            return self._nv.merge4(d0, d1)
+        return tuple(RR.merge4(list(d0), list(d1)))
 
     def to_ints(self, device_digest_col) -> tuple:
-        """One digest column [4, 7] (Montgomery limbs, numpy) -> 7 ints."""
+        """One digest column [4, 4] (Montgomery limbs, numpy) -> 4 ints."""
         return tuple(int(x) for x in F.to_int(np.asarray(device_digest_col)))
 
 

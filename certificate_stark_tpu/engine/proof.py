@@ -105,9 +105,10 @@ class Proof:
         `StarkProof::security_level`, printed by the reference example CLI).
 
         Conjectured: queries * log2(blowup) + grinding, capped by the
-        field+extension size and the commitment hash (Rescue digests carry
-        4*63 collision-relevant bits in the reference's as_bytes truncation;
-        we use the full 7-element digest -> 220 bits, sha256 -> 128).
+        field+extension size and the commitment hash (Rescue commitment
+        digests are truncated to 4 elements like the reference's
+        Digest::as_bytes, rescue.rs:202-211 -> 4*63/2 = 126 collision bits;
+        sha/blake 256-bit digests -> 128).
         """
         import math
         opts = self.options
@@ -115,7 +116,7 @@ class Proof:
             math.log2(self.trace_length * opts.blowup))
         query_bits = opts.num_queries * int(math.log2(opts.blowup)) \
             + opts.grinding_bits
-        hash_bits = 220 if opts.hash_fn == "rescue" else 128
+        hash_bits = 126 if opts.hash_fn == "rescue" else 128
         return max(0, min(field_bits, query_bits, hash_bits))
 
     @classmethod

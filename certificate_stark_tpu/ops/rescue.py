@@ -201,5 +201,26 @@ def merge(d0, d1):
     return state[:, :DIGEST_SIZE]
 
 
+TRUNC_DIGEST = 4  # commitment digests truncated to 4 elements (32 bytes)
+
+
+def merge4(d0, d1):
+    """2-to-1 merge of TRUNCATED digests [4, 4, B] -> [4, 4, B].
+
+    The reference serializes Rescue digests as their first 4 elements
+    (Digest::as_bytes, rescue.rs:202-211 — 32 bytes / ~126-bit collision
+    resistance); the proof-commitment Merkle trees here use that truncated
+    form natively, which cuts every authentication-path node from 56 to 32
+    bytes. Layout mirrors the reference merge (v0 -> state[..7],
+    v1 -> state[7..14]) restricted to the surviving 4 elements; the unused
+    rate positions stay zero, leaving >= 6 zero capacity elements."""
+    b = d0.shape[2:]
+    state = jnp.zeros((4, STATE_WIDTH) + b, dtype=jnp.uint32)
+    state = state.at[:, 0:TRUNC_DIGEST].set(d0)
+    state = state.at[:, 7:7 + TRUNC_DIGEST].set(d1)
+    state = permutation(state)
+    return state[:, :TRUNC_DIGEST]
+
+
 merge_jit = jax.jit(merge)
 digest_jit = jax.jit(digest)

@@ -106,6 +106,16 @@ def merge(d0, d1) -> tuple:
     return tuple(int(v) for v in out)
 
 
+def merge4(d0, d1) -> tuple:
+    """2-to-1 merge of TRUNCATED 4-element digests (ops/rescue.merge4
+    layout: d0 -> state[0:4], d1 -> state[7:11], zeros elsewhere)."""
+    st = np.zeros(14, dtype=np.uint64)
+    st[0:4] = np.asarray([int(x) % _P for x in d0], dtype=np.uint64)
+    st[7:11] = np.asarray([int(x) % _P for x in d1], dtype=np.uint64)
+    lib().rescue_permutation(_p(st))
+    return tuple(int(v) for v in st[:4])
+
+
 _P = 4719772409484279809
 
 

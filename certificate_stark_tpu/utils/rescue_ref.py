@@ -49,3 +49,12 @@ def merge(d0, d1):
     state = list(d0) + list(d1)
     state = permutation(state)
     return state[:DIGEST_SIZE]
+
+
+def merge4(d0, d1):
+    """Truncated-digest merge (4+4 elements; see ops/rescue.merge4)."""
+    state = [0] * STATE_WIDTH
+    state[0:4] = [int(x) % P for x in d0]
+    state[7:11] = [int(x) % P for x in d1]
+    state = permutation(state)
+    return state[:4]

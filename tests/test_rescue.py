@@ -71,3 +71,27 @@ def test_mds_mxu_path_matches_mul_sum():
                         st[:, :, None, :, :], axis=-2)
         got = R._mds_apply_mxu(st, tbl)
         assert np.array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_merge4_device_native_ref_agree():
+    """Truncated-digest merge (ops/rescue.merge4 / native merge4 /
+    rescue_ref.merge4) must agree; used by the rescue commitment trees."""
+    import numpy as np
+    import jax.numpy as jnp
+    from certificate_stark_tpu.ops import field as F
+    from certificate_stark_tpu.ops import rescue as R
+    from certificate_stark_tpu.utils import rescue_ref as RR
+    from certificate_stark_tpu.utils import native as NV
+
+    rng = np.random.default_rng(21)
+    d0 = rng.integers(0, F.P, size=(4, 3), dtype=np.uint64)
+    d1 = rng.integers(0, F.P, size=(4, 3), dtype=np.uint64)
+    got = F.to_int(np.asarray(R.merge4(jnp.asarray(F.from_int(d0)),
+                                       jnp.asarray(F.from_int(d1)))))
+    for col in range(3):
+        exp = RR.merge4([int(v) for v in d0[:, col]],
+                        [int(v) for v in d1[:, col]])
+        assert [int(x) for x in got[:, col]] == [int(x) for x in exp]
+        if NV.available():
+            assert NV.merge4(tuple(d0[:, col]), tuple(d1[:, col])) == \
+                tuple(int(x) for x in exp)
