@@ -251,6 +251,15 @@ class Prover:
         v = os.environ.get("CSTARK_EVAL_CHUNK")
         if v is not None:
             c = int(v)
+            if c > 32768:
+                import warnings
+                warnings.warn(
+                    "CSTARK_EVAL_CHUNK=%d exceeds the largest "
+                    "end-to-end-verified size (32768): a 64k fused "
+                    "eval+composition chunk MIScompiled on XLA:TPU (wrong "
+                    "composition poly, caught only at verify time). See the "
+                    "sizing note in Prover._pick_eval_chunk / DESIGN.md."
+                    % c, stacklevel=2)
             return c if c > 0 else None
         try:
             if jax.default_backend() == "cpu":

@@ -70,10 +70,10 @@ def _mxu_table(mds_table):
     Mbig[(k,i),(q,j)] = byte-plane (k-q) of MDS[i][j] (0 <= k-q < 8):
     one [210,112]@[112,B] matmul yields every byte-weight column sum
     cols[k][i] = sum_{p+q=k} sum_j M_p[i,j]*S_q[j] of the limb product."""
-    key = id(mds_table)
-    tbl = _MXU_TABLES.get(key)
+    m = np.asarray(mds_table)                  # [4,14,14] u32 16-bit limbs
+    key = m.tobytes()                          # content key: id() can be
+    tbl = _MXU_TABLES.get(key)                 # reused after GC
     if tbl is None:
-        m = np.asarray(mds_table)              # [4,14,14] u32 16-bit limbs
         planes = np.zeros((8, 14, 14), dtype=np.float32)
         for limb in range(4):
             planes[2 * limb] = (m[limb] & 0xFF).astype(np.float32)
@@ -207,12 +207,16 @@ TRUNC_DIGEST = 4  # commitment digests truncated to 4 elements (32 bytes)
 def merge4(d0, d1):
     """2-to-1 merge of TRUNCATED digests [4, 4, B] -> [4, 4, B].
 
-    The reference serializes Rescue digests as their first 4 elements
-    (Digest::as_bytes, rescue.rs:202-211 — 32 bytes / ~126-bit collision
-    resistance); the proof-commitment Merkle trees here use that truncated
-    form natively, which cuts every authentication-path node from 56 to 32
-    bytes. Layout mirrors the reference merge (v0 -> state[..7],
-    v1 -> state[7..14]) restricted to the surviving 4 elements; the unused
+    INTENTIONAL DEVIATION from the reference: Hasher::merge there absorbs
+    both FULL 7-element digests (rescue.rs:143-152); only the 32-byte
+    serialization truncates to 4 elements (Digest::as_bytes,
+    rescue.rs:202-211 — ~126-bit collision resistance). Our proof-commitment
+    Merkle trees hash the truncated form natively — a DIFFERENT tree hash
+    with the same 126-bit collision target — which cuts every
+    authentication-path node from 56 to 32 bytes. security_level() derives
+    the 126-bit hash term from this truncated width. Layout mirrors the
+    reference merge (v0 -> state[..7], v1 -> state[7..14]) restricted to
+    the surviving 4 elements; the unused
     rate positions stay zero, leaving >= 6 zero capacity elements."""
     b = d0.shape[2:]
     state = jnp.zeros((4, STATE_WIDTH) + b, dtype=jnp.uint32)

@@ -38,7 +38,7 @@ def sharded_prove_core(prover, mesh: Mesh, axis: str = "domain"):
         coeffs, lde = prover.phase_trace(trace)
         h_coeffs, h_lde = prover.phase_composition(
             lde, t_alpha, t_beta, b_alpha, b_beta,
-            jnp.asarray(prover._periodic), prover._b_evals)
+            jnp.asarray(prover._periodic_tiled(prover.bn)), prover._b_evals)
         # h_lde: [4, d, k, bn] -> flatten the ext axis into columns (prove())
         h_rows = h_lde.transpose(0, 2, 1, 3).reshape(4, -1, h_lde.shape[-1])
         return prover.hasher.hash_columns(h_rows)
