@@ -16,14 +16,23 @@ from ..ops import field as F
 
 
 class RandomCoin:
-    def __init__(self, hasher, seed_elements):
+    def __init__(self, hasher, seed_elements, journal=None):
         self.h = hasher
         self.state = hasher.host_digest([int(x) % F.P for x in seed_elements])
         self.counter = 0
+        # optional transcript journal: records (event, payload) per protocol
+        # step, for the golden-transcript tests (tests/test_transcript.py) —
+        # any silent drift in draw order / serialization / phase structure
+        # changes these vectors and breaks loudly.
+        self.journal = journal
+        if journal is not None:
+            journal.append(("seed", [int(x) for x in self.state]))
 
     def reseed(self, commitment: tuple):
         self.state = self.h.host_merge(self.state, commitment)
         self.counter = 0
+        if self.journal is not None:
+            self.journal.append(("reseed", [int(x) for x in self.state]))
 
     def _next_block(self) -> tuple:
         self.counter += 1
@@ -34,6 +43,12 @@ class RandomCoin:
 
     def draw_felt(self) -> int:
         """Uniform element of F_p."""
+        v = self._draw_felt_raw()
+        if self.journal is not None:
+            self.journal.append(("felt", v))
+        return v
+
+    def _draw_felt_raw(self) -> int:
         while True:
             blk = self._next_block()
             if self.h.name == "rescue":

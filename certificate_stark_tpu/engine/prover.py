@@ -231,11 +231,12 @@ class Prover:
             if tables else np.zeros((0, self.bn), dtype=np.uint64))
 
     def _cache_key(self):
+        from ..utils import curve as CV
         return (type(self).__name__, type(self.air).__name__, self.n, self.w,
                 repr(self.opts), self.hasher.name,
                 getattr(self.air, "depth", None), self._native_kind,
                 self._native_ntt, self._eval_chunk, self._lde_cols,
-                self._pack_lde)
+                self._pack_lde, CV.CURVE_NAME)
 
     def _pick_eval_chunk(self):
         """Domain-chunked constraint evaluation (lax.map over contiguous
@@ -346,10 +347,6 @@ class Prover:
             from ..utils import native as NAT
             if not NAT.available():
                 return None
-            if kind in ("schnorr", "transaction"):
-                from ..utils import curve as CV
-                if any(v != 0 for v in CV.B3_LIMBS[1:]):
-                    return None  # native EC path assumes scalar b3
         except Exception:  # noqa: BLE001
             return None
         return kind
@@ -1098,7 +1095,8 @@ class Prover:
                  if (self._native_ntt or self._native_kind) else None)
 
         coin = RandomCoin(hasher, opts.context_elements(w, n)
-                          + air.pub_inputs_elements())
+                          + air.pub_inputs_elements(),
+                          journal=getattr(self, "coin_journal", None))
         coin.reseed(trace_tree.root())
 
         nc, nb = len(self.degrees), len(self.assertions)

@@ -35,8 +35,7 @@ PPW, PCW, APW = 18, 6, 12
 
 
 def _gen12():
-    from ..params import curve_subfield_gen as G
-    return list(G.GX) + list(G.GY)
+    return list(CV.GEN12)
 
 
 def build_sig_info(message28, signature):

@@ -21,7 +21,7 @@ from . import transaction as TX
 
 def available() -> bool:
     from ..utils import native as NAT
-    return NAT.available() and all(v == 0 for v in CV.B3_LIMBS[1:])
+    return NAT.available()
 
 
 def build_trace_native(md, messages) -> jnp.ndarray:
@@ -80,5 +80,5 @@ def build_trace_native(md, messages) -> jnp.ndarray:
     gen12 = np.asarray(SC._gen12(), dtype=np.uint64)
     limbs = NAT.transaction_trace(init_rows, sibs, path_bits, pkey12, rx6,
                                   sbits, hbits, msgch, dbits, gbits, gen12,
-                                  CV.B3_LIMBS[0], depth, T)
+                                  CV.B3_LIMBS, depth, T)
     return jnp.asarray(limbs)

@@ -198,18 +198,72 @@ def _is_scalar_const(b3) -> bool:
         return all(all(int(c) == 0 for c in t) for t in flat[len(flat) // 6:])
     if hasattr(b3, "aval") and not hasattr(b3, "__array__"):
         return False
-    return not arr[:, 1:].any()                  # limb array [4, 6, ...]
+    return not _coords(arr, 1, 6).any()          # limb array [4, ..., 6, B]
+
+
+def _coords(arr, lo, hi):
+    """Slice the fp6-coordinate axis (second-to-last) of a limb array."""
+    sl = [slice(None)] * arr.ndim
+    sl[-2] = slice(lo, hi)
+    return arr[tuple(sl)]
+
+
+def _is_fp2_const(b3) -> bool:
+    """Static host check: b3 is a concrete numeric limb array [4, 6, ...]
+    whose fp6 coords 2..5 are zero (true for the default fp2-curve instance,
+    b = 5 + 29u — utils/curve.py). Like _is_scalar_const, never inspects
+    traced values."""
+    import numpy as _np
+    try:
+        arr = _np.asarray(b3)
+    except Exception:  # noqa: BLE001
+        return False
+    if arr.dtype == object or (hasattr(b3, "aval")
+                               and not hasattr(b3, "__array__")):
+        return False
+    return not _coords(arr, 2, 6).any()
 
 
 def _mul_b3(fx, b3, t):
-    """b3 * t in fp6. When b3 is a base-subfield scalar (coords 1..5 zero),
-    this is 6 base multiplies instead of the 18-multiply karatsuba."""
+    """b3 * t in fp6. When b3 is a base-subfield scalar (coords 1..5 zero)
+    this is 6 base multiplies; when it is an fp2 scalar (coords 2..5 zero,
+    the reference-strength b=5+29u instance) it is 9 base multiplies (three
+    fp2 muls, one per fp6 coordinate); else the 18-multiply karatsuba."""
     if _is_scalar_const(b3):
         c = b3[..., 0:1, :]
         extra = t.ndim - c.ndim          # align ranks (t may carry extra
         if extra > 0:                    # stacked batch axes)
             c = c.reshape(c.shape[:1] + (1,) * extra + c.shape[1:])
         return fx.mul(t, c)
+    if _is_fp2_const(b3):
+        import numpy as _np
+        from . import field as F
+        xp = fx.xp
+        # constant rows [s0 x3, s1 x3, (s1-s0) x3]; reference fp2 mul
+        # (ecc.rs:424-439): c0 = u + 2v, c1 = v + c0 + w with u = x0*s0,
+        # v = x1*s1, w = (x0-x1)(s1-s0)
+        arr = _np.asarray(b3)            # [4, ..., 6, B] broadcast constant
+        s0 = int(F.to_int(
+            _coords(arr, 0, 1).reshape(4, -1)[:, :1]).reshape(-1)[0])
+        s1 = int(F.to_int(
+            _coords(arr, 1, 2).reshape(4, -1)[:, :1]).reshape(-1)[0])
+        d = (s1 - s0) % F.P
+        rhs = F.from_int(_np.array(
+            [s0] * 3 + [s1] * 3 + [d] * 3, dtype=object))[..., None]  # [4,9,1]
+        extra = t.ndim - rhs.ndim
+        if extra > 0:
+            rhs = rhs.reshape(rhs.shape[:1] + (1,) * extra + rhs.shape[1:])
+        x0 = t[..., 0::2, :]
+        x1 = t[..., 1::2, :]
+        lhs = xp.concatenate([x0, x1, fx.sub(x0, x1)], axis=-2)
+        prod = fx.mul(lhs, xp.asarray(rhs))
+        u = prod[..., 0:3, :]
+        v = prod[..., 3:6, :]
+        w = prod[..., 6:9, :]
+        c0 = fx.add(u, fx.add(v, v))
+        c1 = fx.add(fx.add(v, c0), w)
+        out = xp.stack([c0, c1], axis=-2)    # [..., 3, 2, B] pair-major
+        return out.reshape(out.shape[:-3] + (6,) + out.shape[-1:])
     return f6_mul(fx, b3, t)
 
 

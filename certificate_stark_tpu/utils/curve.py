@@ -4,26 +4,61 @@ sign/verify, witness-side scalar ops.
 Curve form (derived from reference src/utils/ecc.rs, see DESIGN.md):
     E: y^2 = x^3 + x + b   over fp6 = fp2[v]/(v^3+v+1), fp2 = fp[u]/(u^2-2u-2)
 The reference instance's b lives in fp6 with an unrecoverable group order
-(fork-only); our default instance uses b = B0 in F_p (params/curve_subfield.py)
-whose order was computed by point counting + zeta lift, giving a ~125-bit prime
-scalar field SCALAR_Q. The in-circuit formulas and trace layout are identical;
-only the curve constant differs (swappable when the fork's order is known).
+(fork-only: ecc.rs:23-45 gives no order and the fork is unfetchable here), so
+the framework carries its own order-verified instances, selected by
+CSTARK_CURVE (or set_curve()):
+
+  * "fp2"      (default) b = 5 + 29u in F_p2 (params/curve_fp2.py): 245-bit
+               prime scalar field, ~2^122 generic-DL security — the
+               reference-strength instance (its ~254-bit Scalar gives ~2^127).
+  * "subfield" b = 57 in F_p (params/curve_subfield.py): 125-bit prime scalar
+               field — kept for fast tests.
+
+The in-circuit formulas and trace layout are identical across instances; only
+the curve constant b (hence b3 = 3b) and the generator differ.
 """
 from __future__ import annotations
 
+import os
+
 from . import field_ref as FR
 from . import rescue_ref as RR
-from ..params import curve_subfield as CS
 from ..params.data import P
 
-B0 = CS.B0
-SCALAR_Q = CS.SCALAR_Q
-N6 = CS.N6
-COFACTOR = CS.COFACTOR
 
-B6 = FR.f6_scalar(B0)
+def _load(name: str) -> dict:
+    if name == "subfield":
+        from ..params import curve_subfield as M
+        from ..params import curve_subfield_gen as G
+        b_limbs = [M.B0, 0, 0, 0, 0, 0]
+    elif name == "fp2":
+        from ..params import curve_fp2 as M
+        G = M
+        b_limbs = list(M.B_LIMBS)
+    else:
+        raise ValueError(f"unknown curve instance {name!r} "
+                         "(choices: fp2, subfield)")
+    return dict(name=name, b_limbs=b_limbs, scalar_q=M.SCALAR_Q, n6=M.N6,
+                cofactor=M.COFACTOR, gen12=list(G.GX) + list(G.GY))
+
+
+def set_curve(name: str) -> None:
+    """Select the curve instance; rebinds module globals and invalidates
+    curve-derived caches (comb tables, prover phase cache via CURVE_NAME)."""
+    global CURVE_NAME, B_LIMBS, SCALAR_Q, N6, COFACTOR, GEN12, B6, B3_LIMBS
+    inst = _load(name)
+    CURVE_NAME = inst["name"]
+    B_LIMBS = inst["b_limbs"]
+    SCALAR_Q = inst["scalar_q"]
+    N6 = inst["n6"]
+    COFACTOR = inst["cofactor"]
+    GEN12 = inst["gen12"]
+    B6 = FR.f6_from_limbs(B_LIMBS)
+    B3_LIMBS = [(3 * v) % P for v in B_LIMBS]  # in-circuit b3 constant
+
+
 A6 = FR.f6_scalar(1)
-B3_LIMBS = [(3 * B0) % P, 0, 0, 0, 0, 0]  # in-circuit b3 constant
+set_curve(os.environ.get("CSTARK_CURVE", "fp2"))
 
 
 # ---- affine point ops (None = infinity) -----------------------------------
@@ -69,8 +104,7 @@ def mul(k: int, pt):
 
 
 def generator():
-    from ..params import curve_subfield_gen as G
-    return (FR.f6_from_limbs(G.GX), FR.f6_from_limbs(G.GY))
+    return (FR.f6_from_limbs(GEN12[:6]), FR.f6_from_limbs(GEN12[6:]))
 
 
 def mul_gen(k: int) -> list:

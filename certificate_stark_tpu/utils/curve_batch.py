@@ -17,7 +17,7 @@ from . import field_ref as FR
 
 _COMB_W = 4
 _COMB_WINDOWS = 64           # covers 256-bit scalars
-_COMB = None                 # [win][j-1] -> affine 12-limb list of j*2^(4win)*G
+_COMB = {}                   # curve name -> [win][j-1] affine j*2^(4win)*G
 
 
 def _batch_affine(projs):
@@ -43,10 +43,9 @@ def _batch_affine(projs):
 
 
 def _comb_table():
-    global _COMB
-    if _COMB is None:
-        from ..params import curve_subfield_gen as G
-        g12 = list(G.GX) + list(G.GY)
+    tbl = _COMB.get(CV.CURVE_NAME)
+    if tbl is None:
+        g12 = list(CV.GEN12)
         one6 = FR.f6_to_limbs(FR.f6_scalar(1))
         # pass 1: window bases 2^(4w)*G, projectively, one batch normalize
         bases = []
@@ -66,8 +65,9 @@ def _comb_table():
                 cur = ER.compute_add_mixed(cur, b12)
                 projs.append(cur)
         flat = _batch_affine(projs)
-        _COMB = [flat[w * 15:(w + 1) * 15] for w in range(_COMB_WINDOWS)]
-    return _COMB
+        tbl = [flat[w * 15:(w + 1) * 15] for w in range(_COMB_WINDOWS)]
+        _COMB[CV.CURVE_NAME] = tbl
+    return tbl
 
 
 def batch_mul_gen(scalars):
@@ -76,10 +76,9 @@ def batch_mul_gen(scalars):
         return []
     try:
         from . import native as NAT
-        if NAT.available() and all(v == 0 for v in CV.B3_LIMBS[1:]):
-            from ..params import curve_subfield_gen as G
-            return NAT.ec_mul_gen_batch(scalars, list(G.GX) + list(G.GY),
-                                        CV.B3_LIMBS[0])
+        if NAT.available():
+            return NAT.ec_mul_gen_batch(scalars, list(CV.GEN12),
+                                        CV.B3_LIMBS)
     except Exception:  # noqa: BLE001 — fall back to the Python comb
         pass
     tbl = _comb_table()

@@ -8,7 +8,7 @@ State layout: point = list of 18 ints [X(6) || Y(6) || Z(6)].
 from __future__ import annotations
 
 from . import field_ref as FR
-from .curve import B3_LIMBS
+from . import curve as _CV  # late-bound: B3_LIMBS changes with set_curve()
 
 P = FR.P
 
@@ -23,7 +23,7 @@ def _limbs(a):
 
 def compute_double(state18, b3_limbs=None):
     """RCB-style doubling for y^2 = x^3 + x + b (ecc.rs:186-243)."""
-    b3 = _f6(b3_limbs or B3_LIMBS)
+    b3 = _f6(b3_limbs or _CV.B3_LIMBS)
     x = _f6(state18[0:6])
     y = _f6(state18[6:12])
     z = _f6(state18[12:18])
@@ -58,7 +58,7 @@ def compute_double(state18, b3_limbs=None):
 
 def compute_add(state18, point18, b3_limbs=None):
     """Full projective addition (ecc.rs:245-325)."""
-    b3 = _f6(b3_limbs or B3_LIMBS)
+    b3 = _f6(b3_limbs or _CV.B3_LIMBS)
     x1, y1, z1 = _f6(state18[0:6]), _f6(state18[6:12]), _f6(state18[12:18])
     x2, y2, z2 = _f6(point18[0:6]), _f6(point18[6:12]), _f6(point18[12:18])
     m, a, s, d = FR.f6_mul, FR.f6_add, FR.f6_sub, lambda v: FR.f6_add(v, v)
@@ -95,7 +95,7 @@ def compute_add(state18, point18, b3_limbs=None):
 
 def compute_add_mixed(state18, point12, b3_limbs=None):
     """Mixed addition, rhs affine with Z2 == 1 (ecc.rs:330-405)."""
-    b3 = _f6(b3_limbs or B3_LIMBS)
+    b3 = _f6(b3_limbs or _CV.B3_LIMBS)
     x1, y1, z1 = _f6(state18[0:6]), _f6(state18[6:12]), _f6(state18[12:18])
     x2, y2 = _f6(point12[0:6]), _f6(point12[6:12])
     m, a, s, d = FR.f6_mul, FR.f6_add, FR.f6_sub, lambda v: FR.f6_add(v, v)

@@ -42,18 +42,17 @@ def lib():
                                     u8p]
         L.blake3_merge_level.argtypes = [u8p, ctypes.c_uint64, u8p]
         L.eval_schnorr_air.argtypes = [u64p, u64p, u64p, u64p,
-                                       ctypes.c_uint64, u64p, ctypes.c_uint64]
+                                       ctypes.c_uint64, u64p, u64p]
         L.eval_merkle_air.argtypes = [u64p, u64p, u64p, u64p, ctypes.c_uint64]
         L.eval_rescue_chain_air.argtypes = [u64p, u64p, u64p, u64p,
                                             ctypes.c_uint64]
         _u32p_t = ctypes.POINTER(ctypes.c_uint32)
         L.transaction_trace.argtypes = [u64p] * 10 + [
-            u64p, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint64, _u32p_t]
-        L.ec_mul_gen_batch.argtypes = [u64p, u64p, ctypes.c_uint64,
+            u64p, u64p, ctypes.c_uint64, ctypes.c_uint64, _u32p_t]
+        L.ec_mul_gen_batch.argtypes = [u64p, u64p, u64p,
                                        ctypes.c_uint64, u64p]
         L.eval_transaction_air.argtypes = [u64p, u64p, u64p, u64p,
-                                           ctypes.c_uint64, u64p,
-                                           ctypes.c_uint64]
+                                           ctypes.c_uint64, u64p, u64p]
         L.f63_ntt_batch.argtypes = [u64p] + [ctypes.c_uint64] * 4
         L.f63_coset_scale_batch.argtypes = [u64p] + [ctypes.c_uint64] * 3
         L.f63_lde_batch.argtypes = [u64p] + [ctypes.c_uint64] * 6 + [u64p, u64p]
@@ -146,11 +145,11 @@ def eval_air(kind: str, cur: np.ndarray, nxt: np.ndarray,
         return out
     from ..models.schnorr import _gen12
     from . import curve as CV
-    assert all(v == 0 for v in CV.B3_LIMBS[1:]), "native eval needs scalar b3"
     gen = np.asarray([_mont(v) for v in _gen12()], dtype=np.uint64)
-    b3m = ctypes.c_uint64(_mont(CV.B3_LIMBS[0]))
+    b3m = np.asarray([_mont(v) for v in CV.B3_LIMBS], dtype=np.uint64)
     fn = L.eval_schnorr_air if kind == "schnorr" else L.eval_transaction_air
-    fn(_p(cur), _p(nxt), _p(per), _p(out), ctypes.c_uint64(B), _p(gen), b3m)
+    fn(_p(cur), _p(nxt), _p(per), _p(out), ctypes.c_uint64(B), _p(gen),
+       _p(b3m))
     return out
 
 
@@ -323,7 +322,7 @@ def verify_path(root, index, leaf, path) -> bool:
 
 
 def transaction_trace(init_rows, sibs, path_bits, pkey12, rx6, sbits, hbits,
-                      msgch, dbits, gbits, gen12, b3_std, depth, T):
+                      msgch, dbits, gbits, gen12, b3_limbs, depth, T):
     """Native composed-transaction trace (native/air_eval.c transaction_trace;
     reference src/trace.rs:28-142). All inputs standard-form uint64 arrays;
     returns Montgomery 16-bit limb planes [4, 94, T*1024] uint32 — the device
@@ -332,14 +331,15 @@ def transaction_trace(init_rows, sibs, path_bits, pkey12, rx6, sbits, hbits,
     out = np.empty((4, 94, T * 1024), dtype=np.uint32)
     args = [np.ascontiguousarray(a, dtype=np.uint64)
             for a in (init_rows, sibs, path_bits, pkey12, rx6, sbits, hbits,
-                      msgch, dbits, gbits, gen12)]
+                      msgch, dbits, gbits, gen12,
+                      [int(v) % _P for v in b3_limbs])]
     lib().transaction_trace(*[_p(a) for a in args],
-                            int(b3_std) % _P, int(depth), int(T),
+                            int(depth), int(T),
                             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
     return out
 
 
-def ec_mul_gen_batch(scalars, gen12, b3_std):
+def ec_mul_gen_batch(scalars, gen12, b3_limbs):
     """Batch fixed-base k_i*G -> [T][12] standard-form affine limbs
     (native/air_eval.c ec_mul_gen_batch). Scalars must be in [1, group order)
     — the identity is not representable in affine output."""
@@ -351,6 +351,7 @@ def ec_mul_gen_batch(scalars, gen12, b3_std):
         for w in range(4):
             words[i, w] = (k >> (64 * w)) & 0xFFFFFFFFFFFFFFFF
     gen = np.ascontiguousarray(gen12, dtype=np.uint64)
+    b3 = np.asarray([int(v) % _P for v in b3_limbs], dtype=np.uint64)
     out = np.empty((T, 12), dtype=np.uint64)
-    lib().ec_mul_gen_batch(_p(words), _p(gen), int(b3_std) % _P, T, _p(out))
+    lib().ec_mul_gen_batch(_p(words), _p(gen), _p(b3), T, _p(out))
     return [[int(v) for v in row] for row in out]

@@ -115,9 +115,23 @@ static inline void f6scal(const u64 *a, u64 s, u64 *c) {
     for (int i = 0; i < 6; i++) c[i] = mmul(a[i], s);
 }
 
+/* b3 * a in fp6, dispatching on the sparsity of the curve constant
+ * (utils/curve.py B3_LIMBS, 6 Montgomery limbs): base-subfield scalar
+ * (limbs 1..5 zero, e.g. the b=57 test instance), fp2 scalar (limbs 2..5
+ * zero, e.g. the reference-strength b=5+29u instance; 3 f2muls), or a
+ * full fp6 element. Safe when c aliases a. */
+static void f6mulb3(const u64 *a, const u64 *b3, u64 *c) {
+    if (!(b3[2] | b3[3] | b3[4] | b3[5])) {
+        if (!b3[1]) { f6scal(a, b3[0], c); return; }
+        for (int i = 0; i < 3; i++) f2mul(a + 2 * i, b3, c + 2 * i);
+        return;
+    }
+    f6mul(a, b3, c);
+}
+
 /* ---- EC ops on projective points [X||Y||Z] (ops/ecc.py compute_*,
  * reference ecc.rs:73-172; b3 is a base-subfield scalar) ------------------ */
-static void ec_double(const u64 *pt, u64 b3, u64 *o) {
+static void ec_double(const u64 *pt, const u64 *b3, u64 *o) {
     const u64 *x = pt, *y = pt + 6, *z = pt + 12;
     u64 t0[6], t1[6], t2[6], t3[6], x3[6], y3[6], z3[6], tm[6];
     f6mul(x, x, t0);
@@ -125,13 +139,13 @@ static void ec_double(const u64 *pt, u64 b3, u64 *o) {
     f6mul(z, z, t2);
     f6mul(x, y, t3); f6dbl_ip(t3);
     f6mul(x, z, z3); f6dbl_ip(z3);
-    f6scal(t2, b3, y3);
+    f6mulb3(t2, b3, y3);
     f6add(z3, y3, y3);
     f6sub(t1, y3, x3);
     f6add(t1, y3, y3);
     f6mul(x3, y3, y3);
     f6mul(t3, x3, x3);
-    f6scal(z3, b3, z3);
+    f6mulb3(z3, b3, z3);
     f6sub(t0, t2, t3);
     f6add(t3, z3, t3);
     for (int i = 0; i < 6; i++) tm[i] = mdbl(t0[i]);   /* z3 = 2 t0 */
@@ -146,7 +160,7 @@ static void ec_double(const u64 *pt, u64 b3, u64 *o) {
     for (int i = 0; i < 6; i++) { o[i] = x3[i]; o[6 + i] = y3[i]; o[12 + i] = z3[i]; }
 }
 
-static void ec_add_mixed(const u64 *pt1, const u64 *pt2, u64 b3, u64 *o) {
+static void ec_add_mixed(const u64 *pt1, const u64 *pt2, const u64 *b3, u64 *o) {
     const u64 *x1 = pt1, *y1 = pt1 + 6, *z1 = pt1 + 12;
     const u64 *x2 = pt2, *y2 = pt2 + 6;
     u64 t0[6], t1[6], t2[6], t3[6], t4[6], t5[6], x3[6], y3[6], z3[6], a[6], b[6];
@@ -158,13 +172,13 @@ static void ec_add_mixed(const u64 *pt1, const u64 *pt2, u64 b3, u64 *o) {
     f6sub(t3, a, t3);
     f6mul(x2, z1, t4); f6add(t4, x1, t4);
     f6mul(y2, z1, t5); f6add(t5, y1, t5);
-    f6scal(z1, b3, x3);
+    f6mulb3(z1, b3, x3);
     f6add(x3, t4, z3);
     f6sub(t1, z3, x3);
     f6add(t1, z3, z3);
     f6mul(x3, z3, y3);
     for (int i = 0; i < 6; i++) t1[i] = madd(mdbl(t0[i]), t0[i]);
-    f6scal(t4, b3, t4);
+    f6mulb3(t4, b3, t4);
     f6add(t1, z1, t1);
     f6sub(t0, z1, t2);
     f6add(t4, t2, t4);
@@ -179,7 +193,7 @@ static void ec_add_mixed(const u64 *pt1, const u64 *pt2, u64 b3, u64 *o) {
     for (int i = 0; i < 6; i++) { o[i] = x3[i]; o[6 + i] = y3[i]; o[12 + i] = z3[i]; }
 }
 
-static void ec_add(const u64 *pt1, const u64 *pt2, u64 b3, u64 *o) {
+static void ec_add(const u64 *pt1, const u64 *pt2, const u64 *b3, u64 *o) {
     const u64 *x1 = pt1, *y1 = pt1 + 6, *z1 = pt1 + 12;
     const u64 *x2 = pt2, *y2 = pt2 + 6, *z2 = pt2 + 12;
     u64 t0[6], t1[6], t2[6], t3[6], t4[6], t5[6], x3[6], y3[6], z3[6], a[6], b[6];
@@ -195,13 +209,13 @@ static void ec_add(const u64 *pt1, const u64 *pt2, u64 b3, u64 *o) {
     f6add(y1, z1, a); f6add(y2, z2, b);
     f6mul(a, b, t5);
     f6add(t1, t2, a); f6sub(t5, a, t5);
-    f6scal(t2, b3, x3);
+    f6mulb3(t2, b3, x3);
     f6add(x3, t4, z3);
     f6sub(t1, z3, x3);
     f6add(t1, z3, z3);
     f6mul(x3, z3, y3);
     for (int i = 0; i < 6; i++) t1[i] = madd(mdbl(t0[i]), t0[i]);
-    f6scal(t4, b3, t4);
+    f6mulb3(t4, b3, t4);
     f6add(t1, t2, t1);
     f6sub(t0, t2, t2);
     f6add(t4, t2, t4);
@@ -226,7 +240,7 @@ static void schnorr_block(const u64 *cur, const u64 *nxt,
                           u64 final_flag, u64 hash_flag, u64 copy_hash,
                           const u64 *internal,      /* 7 */
                           const u64 *gen12,         /* 12 (affine G) */
-                          u64 b3, u64 *res) {
+                          const u64 *b3, u64 *res) {
     u64 tmp18[18], added[18];
     /* points 1 (s*G) and 2 (h*P): doubling + conditional mixed add */
     for (int c = 0; c < 2; c++) {
@@ -362,7 +376,7 @@ static void merkle_auth(const u64 *cur, const u64 *nxt,
 #define COL(arr, c) ((arr) + (size_t)(c) * B)
 
 void eval_schnorr_air(const u64 *cur, const u64 *nxt, const u64 *per,
-                      u64 *out, u64 B, const u64 *gen12m, u64 b3m) {
+                      u64 *out, u64 B, const u64 *gen12m, const u64 *b3m) {
     air_eval_init();
 #pragma omp parallel for schedule(static)
     for (size_t i = 0; i < B; i++) {
@@ -447,7 +461,7 @@ void eval_merkle_air(const u64 *cur, const u64 *nxt, const u64 *per,
 }
 
 void eval_transaction_air(const u64 *cur, const u64 *nxt, const u64 *per,
-                          u64 *out, u64 B, const u64 *gen12m, u64 b3m) {
+                          u64 *out, u64 B, const u64 *gen12m, const u64 *b3m) {
     air_eval_init();
 #pragma omp parallel for schedule(static)
     for (size_t i = 0; i < B; i++) {
@@ -665,12 +679,13 @@ void transaction_trace(
     const u64 *dbits,      /* [T][64] 0/1 */
     const u64 *gbits,      /* [T][64] 0/1 (sigma) */
     const u64 *gen12,      /* [12] standard */
-    u64 b3_std, u64 depth, u64 T,
+    const u64 *b3_std, /* [6] */ u64 depth, u64 T,
     uint32_t *out)         /* [4][94][T*1024] Montgomery 16-bit limb planes
                             * (the device limb layout; see ops/field.py) */
 {
     air_eval_init();
-    const u64 b3 = mmul(b3_std % P, R2);
+    u64 b3[6];
+    for (int i = 0; i < 6; i++) b3[i] = mmul(b3_std[i] % P, R2);
     const u64 thl = 8 * depth + 7;
     const u64 n = T * 1024;
     u64 gen_m[12];
@@ -796,11 +811,12 @@ void transaction_trace(
  * output affine (x||y) 12 limbs per point in STANDARD form. */
 void ec_mul_gen_batch(const u64 *scalars, /* [T][4] 256-bit LE words */
                       const u64 *gen12,   /* [12] standard */
-                      u64 b3_std, u64 T,
+                      const u64 *b3_std, /* [6] */ u64 T,
                       u64 *out)           /* [T][12] standard */
 {
     air_eval_init();
-    const u64 b3 = mmul(b3_std % P, R2);
+    u64 b3[6];
+    for (int i = 0; i < 6; i++) b3[i] = mmul(b3_std[i] % P, R2);
     u64 gen_m[12];
     for (int i = 0; i < 12; i++) gen_m[i] = mmul(gen12[i] % P, R2);
 #ifdef _OPENMP

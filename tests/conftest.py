@@ -19,6 +19,12 @@ if "concurrency_optimized" not in flags:
     flags += " --xla_cpu_enable_concurrency_optimized_scheduler=true"
 os.environ["XLA_FLAGS"] = flags
 
+# Fast tests run the subfield (b=57, 125-bit q) curve instance; the
+# reference-strength fp2 instance (the library default) is covered by
+# tests/test_curve_params.py and the fp2-marked e2e tests, which call
+# curve.set_curve("fp2") explicitly.
+os.environ.setdefault("CSTARK_CURVE", "subfield")
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
