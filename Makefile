@@ -1,6 +1,6 @@
 # Convenience targets; `make ci` reproduces .github/workflows/ci.yml locally
 # (this sandbox cannot execute GitHub Actions — see scripts/ci.sh).
-.PHONY: ci ci-fast test bench native
+.PHONY: ci ci-fast test test-full bench native
 
 native: native/libf63.so native/fp2_count
 
@@ -18,6 +18,10 @@ ci-fast:
 
 test:
 	JAX_PLATFORMS=cpu python -m pytest tests/ -q
+
+test-full:
+	JAX_PLATFORMS=cpu python -m pytest tests/ -q -m ""
+
 
 bench:
 	python bench.py

@@ -3,11 +3,15 @@
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Workload: the reference's headline Rescue hash-chain benchmark
-(/root/reference/benches/rescue.rs: chain length 1024, trace 14 x 8192,
-blowup 4, 42 queries, FRI fold 4 / remainder 256) — full proof generation,
-measured warm (compile excluded; the reference's criterion timings likewise
-exclude compilation because Rust compiles ahead of time).
+Workload (default): the FLAGSHIP composed state-transition AIR at
+BENCH_TX=128 transactions (/root/reference/benches/state_transition.rs:
+trace 94 x 2^17, blowup 8, 42 queries, blake3, FRI fold 4 / remainder 256,
+depth-15 tree) — full proof generation including trace build, measured warm
+(compile excluded; the reference's criterion timings likewise exclude
+compilation because Rust compiles ahead of time). BENCH_MODEL=rescue_chain
+selects the secondary Rescue hash-chain workload
+(/root/reference/benches/rescue.rs: chain 1024, trace 14 x 8192, blowup 4).
+On the CPU fallback the flagship shrinks to 16 txs to bound wall time.
 
 vs_baseline: the reference publishes no numbers (BASELINE.md) and no Rust
 toolchain exists in this image to produce them; BASELINE_EST_S below is a
@@ -30,7 +34,7 @@ CHAIN = int(os.environ.get("BENCH_CHAIN", "1024"))
 HASH = os.environ.get("BENCH_HASH", "blake3")
 # BENCH_MODEL=transaction benches the flagship composed AIR instead
 # (benches/state_transition.rs workload) at BENCH_TX transactions, depth 15.
-MODEL = os.environ.get("BENCH_MODEL", "rescue_chain")
+MODEL = os.environ.get("BENCH_MODEL", "transaction")
 N_TX = int(os.environ.get("BENCH_TX", "128"))
 # estimate for the reference's concurrent 64-core prover on the same
 # workload; see BASELINE.md "vs_baseline methodology"
@@ -96,14 +100,18 @@ def _bench_transaction():
     opts = ProofOptions(num_queries=42, blowup=8, grinding_bits=0,
                         hash_fn=HASH, extension_degree=1,
                         fri_folding=4, fri_max_remainder=256)
-    ex = TransactionExample(N_TX, opts, depth=15)
+    import jax
+    n_tx = N_TX
+    if jax.default_backend() == "cpu" and "BENCH_TX" not in os.environ:
+        n_tx = min(N_TX, 16)   # CPU fallback: bound wall time
+    ex = TransactionExample(n_tx, opts, depth=15)
     proof = ex.prove()     # warmup: compiles all phases
     t0 = time.time()       # timed region includes trace generation
     proof = ex.prove()
     dt = time.time() - t0
     assert ex.verify(proof)
-    est = BASELINE_TX_EST_S.get(N_TX, 0.125 * N_TX)
-    return f"state_transition_{N_TX}tx_prove_wall", dt, est
+    est = BASELINE_TX_EST_S.get(n_tx, 0.125 * n_tx)
+    return f"state_transition_{n_tx}tx_prove_wall", dt, est
 
 
 def _bench_rescue_chain():

@@ -18,6 +18,7 @@ def _opts(ext, blowup=8):
 
 
 @pytest.mark.parametrize("ext", [2, 3])
+@pytest.mark.full
 def test_schnorr_extension(ext):
     from certificate_stark_tpu.models import schnorr as SC
     ex = SC.SchnorrExample(2, _opts(ext), seed=21)
@@ -26,6 +27,7 @@ def test_schnorr_extension(ext):
 
 
 @pytest.mark.parametrize("ext", [2, 3])
+@pytest.mark.full
 def test_merkle_update_extension(ext):
     from certificate_stark_tpu.models import merkle_update as MU
     ex = MU.MerkleUpdateExample(2, _opts(ext, blowup=4), depth=3, seed=22)
@@ -34,6 +36,7 @@ def test_merkle_update_extension(ext):
 
 
 @pytest.mark.parametrize("ext", [2, 3])
+@pytest.mark.full
 def test_merkle_init_extension(ext):
     from certificate_stark_tpu.models import merkle_init as MI
     ex = MI.MerkleInitExample(_opts(ext))
@@ -48,6 +51,7 @@ def test_transaction_cubic():
     assert ex.verify(proof)
 
 
+@pytest.mark.full
 def test_transaction_quadratic_negative():
     from certificate_stark_tpu.models import transaction as TX
     ex = TX.TransactionExample(2, _opts(2), depth=3, seed=25)

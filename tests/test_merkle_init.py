@@ -14,6 +14,7 @@ def test_merkle_init_roundtrip():
     assert ex.verify(proof)
 
 
+@pytest.mark.full
 def test_merkle_init_wrong_inputs_rejected():
     ex = MI.MerkleInitExample(OPTS)
     proof = ex.prove()

@@ -24,6 +24,7 @@ def test_merkle_update_roundtrip():
     assert ex.verify(proof)
 
 
+@pytest.mark.full
 def test_merkle_update_wrong_root_rejected():
     ex = MU.MerkleUpdateExample(1, OPTS, depth=3, seed=3)
     proof = ex.prove()

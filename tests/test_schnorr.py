@@ -16,6 +16,7 @@ def test_schnorr_roundtrip_two_sigs():
     assert ex.verify(proof)
 
 
+@pytest.mark.full
 def test_schnorr_wrong_message_rejected():
     ex = SC.SchnorrExample(2, OPTS, seed=9)
     proof = ex.prove()

@@ -5,6 +5,7 @@ Counterpart of the reference's `concurrent`-feature guarantee: winterfell's
 rayon parallel prover yields the same proof as the serial one (SURVEY.md §2c);
 here the parallel axis is a jax device mesh instead of a thread pool.
 """
+import pytest
 import numpy as np
 import jax
 
@@ -47,6 +48,7 @@ def test_sharded_quadratic_extension():
     assert sharded.to_bytes() == single.to_bytes()
 
 
+@pytest.mark.full
 def test_sharded_transaction_bit_identical():
     """The FLAGSHIP composed AIR through the distributed pipeline: 94 columns,
     periodic-column LDE args, grouped boundary tables — proof bytes must equal

@@ -15,6 +15,7 @@ def test_transaction_roundtrip_two_txs():
     assert ex.verify(proof)
 
 
+@pytest.mark.full
 def test_transaction_wrong_root_rejected():
     ex = TX.TransactionExample(2, OPTS, depth=3, seed=4)
     proof = ex.prove()
