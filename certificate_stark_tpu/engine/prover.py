@@ -1285,4 +1285,7 @@ class Prover:
 
 
 def prove(air, trace, hasher=None) -> Proof:
-    return Prover(air, hasher).prove(trace)
+    p = Prover(air, hasher)
+    box = [trace]
+    del trace          # this frame must not pin the trace: Prover.prove
+    return p.prove(box.pop())  # frees it after the first phase (packed mode)

@@ -109,14 +109,41 @@ def tx_rows(t, depth, message, signature):
 
 
 def build_trace(md, messages) -> jnp.ndarray:
+    """Composed trace dispatcher. When prover debug logging is on, emits its
+    own 'trace gen' phase span (VERDICT r2: the 1023-step generation scan
+    used to hide inside the 'trace LDE' span at scale)."""
+    import logging
+    import time
+    plog = logging.getLogger("certificate_stark_tpu.prover")
+    if plog.isEnabledFor(logging.DEBUG):
+        import jax
+        t0 = time.perf_counter()
+        out = _build_trace(md, messages)
+        jax.block_until_ready(out)
+        plog.debug("%-22s %8.1f ms", "trace gen",
+                   (time.perf_counter() - t0) * 1e3)
+        return out
+    return _build_trace(md, messages)
+
+
+def _build_trace(md, messages) -> jnp.ndarray:
     import os
-    if os.environ.get("CSTARK_NATIVE_TRACE", "1") != "0":
-        # production path on every backend: scalar C per-transaction
-        # recurrence under OpenMP (models/trace_native.py) — trace gen is
-        # sequential host work, like the reference's rayon fragment fill
-        from . import trace_native as TNV
-        if TNV.available():
-            return TNV.build_trace_native(md, messages)
+    nat = os.environ.get("CSTARK_NATIVE_TRACE")
+    if nat != "0":
+        # native scalar C per-transaction recurrence under OpenMP
+        # (models/trace_native.py) — the production path on the CPU backend
+        # (like the reference's rayon fragment fill). NOT the default on
+        # accelerators: the finished trace is 4*94*n*4 bytes (1.6 GB at
+        # 1024 txs) and the host->device upload dominates — through the
+        # axon tunnel it is minutes, while the device scan path uploads
+        # only witness-sized inputs. CSTARK_NATIVE_TRACE=1 forces it.
+        import jax
+        want = nat == "1" or (nat is None
+                              and jax.default_backend() == "cpu")
+        if want:
+            from . import trace_native as TNV
+            if TNV.available():
+                return TNV.build_trace_native(md, messages)
     if len(md.deltas) > 8:
         use_dev = os.environ.get("CSTARK_DEVICE_TRACE")
         if use_dev is None:
@@ -337,14 +364,21 @@ class TransactionExample:
                                self.md.r_old_values[i][:12],
                                self.md.deltas[i], self.md.s_old_values[i][13])
             for i in range(num_transactions)]
-        self.trace = build_trace(self.md, self.messages)
+
+    @property
+    def trace(self):
+        # built on demand, NOT cached: a resident copy would hold
+        # 4*94*n*4 bytes of device memory across prove() (which builds its
+        # own trace, reference parity) — at 1024 txs that is 1.6 GB of the
+        # TPU's HBM budget (see DESIGN.md "2^23-domain memory plan")
+        return build_trace(self.md, self.messages)
 
     def pub_inputs(self):
         return (list(self.md.initial_roots[0]), list(self.md.final_root))
 
     def prove(self):
         from ..engine import prover as PR
-        n = self.trace.shape[-1]
+        n = 1024 * len(self.md.deltas)
         air = TransactionAir(n, self.pub_inputs(), self.options, depth=self.depth)
         return PR.prove(air, build_trace(self.md, self.messages))
 
