@@ -51,17 +51,24 @@ def main():
     q = 42
     o4 = ProofOptions(num_queries=q, blowup=4, hash_fn=args.hash_fn)
     o8 = ProofOptions(num_queries=q, blowup=8, hash_fn=args.hash_fn)
-    chain = 1024 if args.full else 64
-    units = 128 if args.full else 2
+    # --full = the reference's exact criterion sizes
+    # (benches/rescue.rs:365-392 chains 128..1024; benches/{merkle,schnorr,
+    # state_transition}.rs:13-32 1/16/128 units at depth 15)
+    chains = [128, 256, 512, 1024] if args.full else [64]
+    unit_sizes = [1, 16, 128] if args.full else [2]
     depth = 15 if args.full else 3
 
-    run(f"rescue_chain_{chain}", lambda: RC.RescueChainExample(chain, o4))
+    for chain in chains:
+        run(f"rescue_chain_{chain}", lambda c=chain: RC.RescueChainExample(c, o4))
     run("range_64bit", lambda: RG.RangeExample(123456789123456789, o8))
-    run(f"merkle_update_{units}tx_d{depth}",
-        lambda: MU.MerkleUpdateExample(units, o8, depth=depth))
-    run(f"schnorr_{units}sig", lambda: SC.SchnorrExample(units, o8))
-    run(f"state_transition_{units}tx_d{depth}",
-        lambda: TX.TransactionExample(units, o8, depth=depth))
+    for u in unit_sizes:
+        run(f"merkle_update_{u}tx_d{depth}",
+            lambda u=u: MU.MerkleUpdateExample(u, o8, depth=depth))
+    for u in unit_sizes:
+        run(f"schnorr_{u}sig", lambda u=u: SC.SchnorrExample(u, o8))
+    for u in unit_sizes:
+        run(f"state_transition_{u}tx_d{depth}",
+            lambda u=u: TX.TransactionExample(u, o8, depth=depth))
 
 
 if __name__ == "__main__":

@@ -151,7 +151,9 @@ class Proof:
                             hash_fn=["rescue", "sha256", "blake3", "sha3"][h],
                             extension_degree=e, fri_folding=f,
                             fri_max_remainder=rem)
-        dl = {"rescue": 7, "sha256": 8, "blake3": 8, "sha3": 8}[opts.hash_fn]
+        # digest lengths match engine/hasher.py digest_len (rescue commitment
+        # digests are TRUNCATED to 4 elements — ops/rescue.merge4)
+        dl = {"rescue": 4, "sha256": 8, "blake3": 8, "sha3": 8}[opts.hash_fn]
         p = cls(trace_width=tw, trace_length=tl, options=opts,
                 pub_inputs=r_felts())
         p.trace_root = r_digest(dl)

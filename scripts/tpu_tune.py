@@ -15,13 +15,33 @@ import time
 sys.path.insert(0, "/root/repo")
 
 
-def bench(fn, *args, reps=10):
+def _sync(r):
+    """Force completion with a tiny D2H readback: through the axon tunnel,
+    block_until_ready returns before execution finishes (measured: a 2^23
+    NTT 'completes' in 99us), so readback is the only reliable barrier."""
+    import numpy as np
     import jax
-    r = jax.block_until_ready(fn(*args))  # compile
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        r = jax.block_until_ready(fn(*args))
-    return (time.perf_counter() - t0) / reps
+    leaf = jax.tree_util.tree_leaves(r)[0]
+    np.asarray(leaf[(slice(0, 1),) * leaf.ndim])
+    return r
+
+
+def bench(fn, *args, reps=10):
+    _sync(fn(*args))  # compile + warm
+    # enqueue a batch and sync ONCE at the end (dispatches execute serially
+    # on the device stream), growing the batch until wall >= 0.5 s so the
+    # single readback round-trip amortizes away
+    n = reps
+    while True:
+        t0 = time.perf_counter()
+        r = None
+        for _ in range(n):
+            r = fn(*args)
+        _sync(r)
+        dt = time.perf_counter() - t0
+        if dt >= 0.5 or n >= 4096:
+            return dt / n
+        n *= 4
 
 
 def main():
