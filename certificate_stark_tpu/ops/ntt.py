@@ -99,16 +99,46 @@ def ntt(a: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
     Forward maps coefficients -> evaluations at [w^0..w^(n-1)] (natural order).
     Inverse maps evaluations -> coefficients (includes the 1/n scale).
 
-    The MXU matmul form (ntt_mxu) is bit-identical and available behind
-    CSTARK_NTT_MXU=1, but MEASURED SLOWER on v5e (2.6 s vs 0.44 s at
-    [4,16,2^20] with forced device sync): the deferred-REDC byte-plane
-    expansion writes 15 f32 columns per 4-limb output plus an 18-step carry
-    fold — ~7x the butterfly's HBM traffic. The butterfly stays the default;
-    see DESIGN.md "MXU-shaped hot path" for the full measurement story.
+    Dispatch (bit-identical variants):
+      * accelerator + n >= _FOUR_STEP_MIN -> Bailey four-step (measured ~8x
+        the radix-2 butterfly on v5e at 2^20: 2.6 ms vs 21.4 ms — each
+        sqrt(n)-sized sub-transform keeps its twiddle slice and rows
+        VMEM-resident, while the radix-2 form streams the whole array from
+        HBM log2(n) times). CSTARK_NTT_FOUR_STEP=0/1 overrides.
+      * The MXU matmul form (ntt_mxu) is bit-identical and available behind
+        CSTARK_NTT_MXU=1, but MEASURED SLOWER on v5e (2.6 s vs 0.44 s at
+        [4,16,2^20] with forced device sync): the deferred-REDC byte-plane
+        expansion writes 15 f32 columns per 4-limb output plus an 18-step
+        carry fold — ~7x the butterfly's HBM traffic. See DESIGN.md
+        "MXU-shaped hot path".
+      * otherwise the radix-2 butterfly (XLA:CPU, small sizes).
     """
     if a.shape[-1] >= _DFT_MIN and _use_mxu_ntt():
         return ntt_mxu(a, inverse)
+    if _use_four_step(a.shape[-1]):
+        return ntt_four_step(a, inverse)
     return _ntt_butterfly(a, inverse)
+
+
+def _use_four_step(n: int) -> bool:
+    import os
+    v = os.environ.get("CSTARK_NTT_FOUR_STEP")
+    if v is not None:
+        return bool(int(v)) and n >= 4
+    if n < _FOUR_STEP_MIN:
+        return False
+    try:
+        import jax
+        return jax.default_backend() != "cpu"
+    except Exception:  # noqa: BLE001
+        return False
+
+
+# Four-step pays a full-size twiddle multiply + two transposes; it wins once
+# the radix-2 form's log2(n) HBM sweeps dominate (v5e measurement: faster
+# from 2^15 up). Sub-transforms are ~sqrt(n) < this bound, so the recursive
+# ntt() calls inside ntt_four_step take the butterfly path.
+_FOUR_STEP_MIN = 1 << 15
 
 
 def _ntt_butterfly(a: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
@@ -167,7 +197,19 @@ def ntt_four_step(a: jnp.ndarray, inverse: bool = False,
     m = a.reshape((4,) + lead + (n2, n1))
     m = jnp.swapaxes(m, -1, -2)                  # [4, .., n1, n2]
     s = ntt(m, inverse)                          # columns: over i2
-    tw = _four_step_twiddles(n, n1, n2, inverse)  # [4, n1, n2]
+    if n >= _DEVICE_TABLE_MIN:
+        # build T[i1,k2] = w^(i1*k2) on device: full powers table (log-
+        # doubling) + an iota-product gather — no big embedded constant
+        # (same HTTP-413 rationale as the butterfly's powers_device path)
+        w = root_of_unity(n)
+        if inverse:
+            w = pow(w, F.P - 2, F.P)
+        full = powers_device(w, n)               # [4, n]
+        idx = (jnp.arange(n1, dtype=jnp.int32)[:, None]
+               * jnp.arange(n2, dtype=jnp.int32)[None, :]) & (n - 1)
+        tw = jnp.take(full, idx.reshape(-1), axis=-1).reshape(4, n1, n2)
+    else:
+        tw = _four_step_twiddles(n, n1, n2, inverse)  # [4, n1, n2]
     tw = tw.reshape((4,) + (1,) * len(lead) + (n1, n2))
     s = F.mul(s, jnp.broadcast_to(tw, s.shape))
     s = jnp.swapaxes(s, -1, -2)                  # [4, .., n2, n1]

@@ -91,14 +91,29 @@ def _mxu_table(mds_table):
     return jnp.asarray(tbl)
 
 
+# Past this flattened batch size the matmul's [210, LB] f32 column block
+# (~3.4 KB/lane) plus the byte planes overflow VMEM and XLA spills the fused
+# intermediates to HBM — measured cliff on v5e: batch 4096 = 5.9 ms but
+# batch 65536 = 627 ms (16x data, 106x time). lax.map over sub-batches keeps
+# each matmul VMEM-resident; 16384 lanes ~ 14 MB of f32 columns.
+_MDS_MXU_CHUNK = 16384
+
+
 def _mds_apply_mxu(state, mds_table):
     """MDS apply on the MXU: byte-split limbs (exact in bf16, products
     accumulate exactly in f32 < 2^24), ONE [210,112]@[112,L*B] matmul, then
     a single deferred Montgomery reduction per output (field.redc_cols16)."""
-    lead = state.shape[1:-2]
     B = state.shape[-1]
     s = state.reshape((4, -1, 14, B))          # [4, L, 14, B]
     L = s.shape[1]
+    C = _MDS_MXU_CHUNK
+    if L * B > C and B % (C // max(L, 1)) == 0 and C // max(L, 1) > 0:
+        bc = C // L
+        nch = B // bc
+        sc = jnp.moveaxis(s.reshape(4, L, 14, nch, bc), -2, 0)
+        out = jax.lax.map(lambda x: _mds_apply_mxu(
+            x.reshape((4, L, 14, bc)), mds_table), sc)
+        return jnp.moveaxis(out, 0, -2).reshape(state.shape)
     planes = []
     for limb in range(4):
         planes.append(s[limb] & np.uint32(0xFF))
