@@ -272,9 +272,10 @@ class Prover:
         # 256k points — so bigger chunks look ~linearly faster. BUT the
         # fused eval+composition body produces a WRONG composition poly at
         # 64k points (OOD consistency fails; XLA:TPU miscompile under
-        # investigation), while 8k verifies end-to-end. Stay at the largest
+        # investigation; scripts/repro_chunk64k.py), while 8k AND 32k verify
+        # end-to-end (DESIGN.md "Chunk sizing"). Default to the largest
         # verified size; raise only with a passing proof at the new size.
-        return 8192
+        return 32768
 
     def _pick_lde_cols(self):
         """Column-group size for chunked big-domain transforms (lax.map over
@@ -461,6 +462,12 @@ class Prover:
         o_inv = pow(self.offset, F.P - 2, F.P)
         return lambda evals: NTT.coset_scale(NTT.intt(evals), o_inv)
 
+    def _make_intt_trace(self):
+        """trace-domain inverse NTT [4, ..., n] -> coefficients (overridden
+        by the sharded prover with the distributed six-step transform so no
+        single chip runs a full-size [w, n] inverse butterfly)."""
+        return NTT.intt
+
     # ------------------------------------------------------------------
     def _build_phases(self):
         air, n, w, b, bn, k = self.air, self.n, self.w, self.b, self.bn, self.k
@@ -469,6 +476,7 @@ class Prover:
         comp_deg = k * n - 1
         lde_big = self._make_lde_big()
         intt_big = self._make_intt_big()
+        intt_trace = self._make_intt_trace()
         lde_cols = self._lde_cols
 
         def _map_col_groups(body, x, wc):
@@ -501,11 +509,11 @@ class Prover:
         @jax.jit
         def phase_trace(trace):
             if lde_cols is None or w <= lde_cols:
-                coeffs = NTT.intt(trace)
+                coeffs = intt_trace(trace)
                 return coeffs, lde_big(coeffs)
 
             def body(g):
-                cf = NTT.intt(g)
+                cf = intt_trace(g)
                 return cf, lde_big(cf)
 
             return _map_col_groups(body, trace, lde_cols)
@@ -773,8 +781,8 @@ class Prover:
             @jax.jit
             def phase_trace_coeffs(trace):
                 if lde_cols is None or w <= lde_cols:
-                    return NTT.intt(trace)
-                return _map_col_groups(NTT.intt, trace, lde_cols)
+                    return intt_trace(trace)
+                return _map_col_groups(intt_trace, trace, lde_cols)
 
             @jax.jit
             def lde_group_packed(cf_g):
@@ -1063,12 +1071,12 @@ class Prover:
         tm = _PhaseTimer()
         ck = checkpoint
 
-        if ck and self._pack_lde:
-            raise ValueError("phase checkpointing is not supported with the "
-                             "packed-LDE memory layout (CSTARK_PACK_LDE=0 to "
-                             "checkpoint large proofs)")
         data = ck.load("trace") if ck else None
+        if data is not None and int(data.get("packed", 0)) != int(
+                self._pack_lde):
+            data = None   # LDE layout changed between runs: recompute phase
         if data is not None:
+            del trace     # every value is restored; drop the rebuilt trace
             trace_coeffs = jnp.asarray(data["trace_coeffs"])
             lde = jnp.asarray(data["lde"])
             t_levels = [jnp.asarray(x) for x in ck.unpack_levels(data)]
@@ -1078,6 +1086,12 @@ class Prover:
             lde = self._build_lde_packed(trace_coeffs)  # [2, w, bn+b] packed
             tm.mark("trace LDE", lde)
             t_levels = self._commit_packed(hasher, lde)
+            if ck:
+                # the packed [2, w, bn+b] words ARE the canonical residency;
+                # checkpoint them as-is (no unpacked copy is ever built)
+                ck.save_levels("trace", {"trace_coeffs": trace_coeffs,
+                                         "lde": lde,
+                                         "packed": np.asarray(1)}, t_levels)
         else:
             if self._native_ntt:
                 trace_coeffs, lde = self._native_lde(trace)
@@ -1088,7 +1102,8 @@ class Prover:
                                getattr(self, "allow_native_commit", True))
             if ck:
                 ck.save_levels("trace", {"trace_coeffs": trace_coeffs,
-                                         "lde": lde}, t_levels)
+                                         "lde": lde,
+                                         "packed": np.asarray(0)}, t_levels)
         trace_tree = M.MerkleTree.from_levels(hasher, t_levels)
         tm.mark("trace commit", trace_tree.levels[-1])
         lde_u = (F.pack_u64(np.asarray(lde))

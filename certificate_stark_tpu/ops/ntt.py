@@ -124,7 +124,11 @@ def _use_four_step(n: int) -> bool:
     import os
     v = os.environ.get("CSTARK_NTT_FOUR_STEP")
     if v is not None:
-        return bool(int(v)) and n >= 4
+        try:
+            return bool(int(v)) and n >= 4
+        except ValueError:
+            raise ValueError(
+                f"CSTARK_NTT_FOUR_STEP must be an integer, got {v!r}") from None
     if n < _FOUR_STEP_MIN:
         return False
     try:

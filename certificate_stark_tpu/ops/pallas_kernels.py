@@ -32,10 +32,33 @@ import numpy as np
 # use only scalar literals and are safe to call directly.
 
 
+def _k_mul_wide(a, b):
+    """Pallas-safe variant of F._mul_wide_t: Mosaic rejects jnp.sum over
+    unsigned ints ("Reductions over unsigned integers not implemented"), so
+    the anti-diagonal column sums accumulate with an unrolled chain of
+    elementwise adds instead of a stacked reduction."""
+    prods = a[:, None] * b[None, :]               # [4, 4, *S]
+    lo = prods & np.uint32(0xFFFF)
+    hi = prods >> 16
+    zero = jnp.zeros(prods.shape[2:], jnp.uint32)
+    cols = [zero] * 8
+    for i in range(4):
+        for j in range(4):
+            cols[i + j] = cols[i + j] + lo[i, j]
+            cols[i + j + 1] = cols[i + j + 1] + hi[i, j]
+    out = []
+    carry = zero
+    for k in range(8):
+        s = cols[k] + carry
+        carry = s >> 16
+        out.append(s & np.uint32(0xFFFF))
+    return out
+
+
 def _k_mul(a, b):
     # structured-modulus REDC (F._redc): scalar literals only, pallas-safe
-    t = F._mul_wide_t(a, b, jnp)
-    u = F._redc([t[k] for k in range(8)], jnp)
+    t = _k_mul_wide(a, b)
+    u = F._redc(t, jnp)
     return jnp.stack(F._cond_sub_p(u[:4]), axis=0)
 
 

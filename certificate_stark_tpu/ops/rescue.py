@@ -107,8 +107,8 @@ def _mds_apply_mxu(state, mds_table):
     s = state.reshape((4, -1, 14, B))          # [4, L, 14, B]
     L = s.shape[1]
     C = _MDS_MXU_CHUNK
-    if L * B > C and B % (C // max(L, 1)) == 0 and C // max(L, 1) > 0:
-        bc = C // L
+    bc = C // max(L, 1)
+    if bc > 0 and L * B > C and B % bc == 0:
         nch = B // bc
         sc = jnp.moveaxis(s.reshape(4, L, 14, nch, bc), -2, 0)
         out = jax.lax.map(lambda x: _mds_apply_mxu(

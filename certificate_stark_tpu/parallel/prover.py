@@ -110,6 +110,24 @@ class ShardedProver(PRV.Prover):
 
         return intt_big
 
+    def _make_intt_trace(self):
+        """Trace-domain inverse NTT through the distributed six-step form:
+        the [94, n] interpolation is the first big transform of the pipeline
+        and must not be replicated per chip (round-3 gap — every device
+        redundantly ran the full inverse butterfly). Falls back to the local
+        transform only when n is too small to factor across the mesh."""
+        n, mesh, axis, D = self.n, self.mesh, self.axis, self.D
+        n1 = 1 << ((n.bit_length() - 1) // 2)
+        if n1 % D or (n // n1) % D:
+            return NTT.intt        # tiny domain: not worth 3 all_to_alls
+
+        def intt_trace(x):
+            dist = PNTT.ntt_sharded(mesh, D, n, batch_shape=x.shape[1:-1],
+                                    inverse=True, axis=axis)
+            return dist(x)
+
+        return intt_trace
+
     # -- phase kernels rewrapped with explicit shardings ---------------------
     def _build_phases(self):
         super()._build_phases()
@@ -118,16 +136,20 @@ class ShardedProver(PRV.Prover):
         sh4 = self._sh(3)    # [4, x, y, bn]
         n_b_groups = len(self._b_struct)
 
+        # trace coefficients and h coefficients stay block-sharded over the
+        # domain axis end-to-end: the trace-domain iNTT runs distributed
+        # (_make_intt_trace) and the OOD dot reduces the sharded axis via a
+        # GSPMD-inserted psum — no replicated O(n*w) array survives a phase.
         self.phase_trace = jax.jit(self.phase_trace,
                                    in_shardings=(rep,),
-                                   out_shardings=(rep, sh3))
+                                   out_shardings=(sh3, sh3))
         self.phase_composition = jax.jit(
             self.phase_composition,
             in_shardings=(sh3, rep, rep, rep, rep, sh3,
                           tuple(sh3 for _ in range(n_b_groups))),
-            out_shardings=(rep, sh4))
+            out_shardings=(sh4, sh4))
         self.phase_ood = jax.jit(self.phase_ood,
-                                 in_shardings=(rep, rep, rep),
+                                 in_shardings=(sh3, sh4, rep),
                                  out_shardings=(rep, rep, rep))
         self.phase_deep = jax.jit(
             self.phase_deep,

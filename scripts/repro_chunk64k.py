@@ -2,19 +2,20 @@
 """Minimal repro driver for the XLA:TPU fused eval+composition wrong-code
 issue at 64k-point chunks (DESIGN.md "Chunk sizing", Prover._pick_eval_chunk).
 
-Strategy: isolate the chunked composition phase alone (no full prove). For a
-fixed small transaction AIR and fixed random-ish inputs, run phase_composition
-at several CSTARK_EVAL_CHUNK sizes and compare the resulting composition-poly
-coefficients bitwise against the unchunked result computed on the SAME
-backend, and against the CPU result (ground truth: CPU is bit-identical
-across chunk sizes).
+Strategy: for a fixed small transaction AIR with a fixed seed, run a FULL
+prove in a fresh subprocess at several CSTARK_EVAL_CHUNK sizes, hash the
+proof bytes, and compare each hash against the CPU-backend proof at the
+same chunk size (ground truth: CPU is bit-identical across chunk sizes).
+The composition poly feeds OOD, DEEP, FRI and the coin, so a wrong poly
+changes the proof bytes and fails verification — the proof SHA is the
+discriminator.
 
 Usage: python scripts/repro_chunk64k.py [--sizes 8192 32768 65536 131072]
 
-Prints one JSON line per size: {"chunk": S, "match_unchunked": bool,
-"match_cpu": bool, "mismatch_count": int}. A false match_* at S=65536 with
-true at neighbors reproduces the miscompile; all-true means the issue is
-gone (e.g. newer runtime) and the default can be raised.
+Prints one JSON line per size: {"chunk": S, "proof_sha": ..., "verified":
+bool, "match_cpu": bool}. A false match_cpu/verified at S=65536 with true
+at neighbors reproduces the miscompile; all-true means the issue is gone
+(e.g. newer runtime) and the default can be raised.
 """
 import argparse
 import json
@@ -25,8 +26,8 @@ sys.path.insert(0, "/root/repo")
 
 
 def run_composition(chunk, n_tx=32, backend=None):
-    """Fresh-process worker: build the transaction prover at the given
-    eval chunk and return SHA256 of the composition coefficients."""
+    """Fresh-process worker: run a full prove at the given eval chunk and
+    return (SHA256 of the proof bytes, verified flag)."""
     env = dict(os.environ, CSTARK_EVAL_CHUNK=str(chunk))
     if backend:
         env["JAX_PLATFORMS"] = backend

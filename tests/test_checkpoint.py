@@ -46,3 +46,40 @@ def test_checkpoint_context_mismatch_not_resumed(tmp_path):
     assert b.load("trace") is None          # different context -> ignored
     a2 = Checkpointer(str(tmp_path), context=["A", 1])
     assert np.array_equal(a2.load("trace")["x"], np.arange(3))
+
+
+def test_checkpoint_resume_packed_mode(tmp_path, monkeypatch):
+    """Packed-LDE mode (the residency the 2^23-domain proofs force) must
+    checkpoint and resume byte-identically: the packed [2, w, bn+b] buffer is
+    persisted as-is and every compute phase is skipped on resume."""
+    monkeypatch.setenv("CSTARK_EVAL_CHUNK", "512")
+    monkeypatch.setenv("CSTARK_NATIVE_EVAL", "0")
+    monkeypatch.setenv("CSTARK_NATIVE_NTT", "0")
+    monkeypatch.setenv("CSTARK_NATIVE_COMMIT", "0")
+    monkeypatch.setenv("CSTARK_LDE_COLS", "7")
+    monkeypatch.setenv("CSTARK_PACK_LDE", "1")
+    opts = ProofOptions(num_queries=8, blowup=4, hash_fn="blake3")
+    ex = RC.RescueChainExample(64, opts)
+    air = RC.RescueChainAir(64 * 8, ex.pub_inputs(), opts)
+    prover = PR.Prover(air)
+    assert prover._pack_lde
+
+    ref = prover.prove(ex.trace).to_bytes()
+    ck = prover.checkpointer(str(tmp_path))
+    assert prover.prove(ex.trace, checkpoint=ck).to_bytes() == ref
+
+    prover2 = PR.Prover(RC.RescueChainAir(64 * 8, ex.pub_inputs(), opts))
+    assert prover2._pack_lde
+    ck2 = prover2.checkpointer(str(tmp_path))
+    garbage = jnp.zeros_like(ex.trace)
+    proof2 = prover2.prove(garbage, checkpoint=ck2)
+    assert proof2.to_bytes() == ref
+    assert VR.verify(RC.RescueChainAir, proof2, ex.pub_inputs())
+
+    # a layout flip between runs must NOT resume the packed trace artifact
+    monkeypatch.setenv("CSTARK_PACK_LDE", "0")
+    prover3 = PR.Prover(RC.RescueChainAir(64 * 8, ex.pub_inputs(), opts))
+    assert not prover3._pack_lde
+    ck3 = prover3.checkpointer(str(tmp_path))
+    proof3 = prover3.prove(ex.trace, checkpoint=ck3)
+    assert proof3.to_bytes() == ref   # recomputed, still identical

@@ -91,3 +91,43 @@ def test_ntt_mxu_matches_butterfly():
             ref = np.asarray(NTT._ntt_butterfly(a, inv))
             got = np.asarray(NTT.ntt_mxu(a, inv))
             assert np.array_equal(ref, got), (n, inv)
+
+
+def test_ntt_four_step_matches_butterfly(monkeypatch):
+    """The Bailey four-step NTT (the default dispatch for n >= 2^15 on
+    accelerators, ops/ntt.ntt_four_step) must be bit-identical to the
+    radix-2 butterfly path, both directions, single and batched — including
+    the device-built gather-twiddle branch (n >= _DEVICE_TABLE_MIN)."""
+    rng = np.random.default_rng(17)
+    for n in (256, 2048, 8192):
+        vals = rng.integers(0, F.P, size=(3, n), dtype=np.uint64)
+        a = jnp.asarray(F.from_int(vals.astype(object)))
+        for inv in (False, True):
+            ref = np.asarray(NTT._ntt_butterfly(a, inv))
+            got = np.asarray(NTT.ntt_four_step(a, inv))
+            assert np.array_equal(ref, got), (n, inv)
+    # device twiddle-gather branch: lower the constant-embedding bound so the
+    # powers_device path runs at a testable size
+    monkeypatch.setattr(NTT, "_DEVICE_TABLE_MIN", 1024)
+    for n in (2048, 4096):
+        vals = rng.integers(0, F.P, size=n, dtype=np.uint64)
+        a = jnp.asarray(F.from_int([int(v) for v in vals]))
+        for inv in (False, True):
+            ref = np.asarray(NTT._ntt_butterfly(a, inv))
+            got = np.asarray(NTT.ntt_four_step(a, inv))
+            assert np.array_equal(ref, got), ("device-twiddle", n, inv)
+
+
+def test_ntt_dispatch_four_step_env(monkeypatch):
+    """CSTARK_NTT_FOUR_STEP=1 forces ntt() through the four-step form; the
+    result must stay bit-identical to the butterfly on the same backend."""
+    rng = np.random.default_rng(23)
+    n = 1024
+    vals = rng.integers(0, F.P, size=(2, n), dtype=np.uint64)
+    a = jnp.asarray(F.from_int(vals.astype(object)))
+    ref = np.asarray(NTT._ntt_butterfly(a, False))
+    monkeypatch.setenv("CSTARK_NTT_FOUR_STEP", "1")
+    got = np.asarray(NTT.ntt(a, False))
+    assert np.array_equal(ref, got)
+    back = np.asarray(NTT.ntt(NTT.ntt(a), True))
+    assert np.array_equal(back, np.asarray(a))
