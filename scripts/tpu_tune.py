@@ -100,11 +100,22 @@ def main():
     out["ntt_batch16_1m_s"] = bench(jax.jit(NTT.ntt), xb, reps=4)
     out["ntt_batch16_1m_butterflies_per_s"] = (
         16 * (1 << 20) * 20 / 2 / out["ntt_batch16_1m_s"])
+    # the 94-column batch is the exact shape the flagship trace LDE executes
+    x94 = rnd(94, 1 << 17)
+    out["ntt_batch94_128k_s"] = bench(jax.jit(NTT.ntt), x94, reps=3)
+    out["ntt_batch94_128k_butterflies_per_s"] = (
+        94 * (1 << 17) * 17 / 2 / out["ntt_batch94_128k_s"])
+    del x94
     for lg in (22, 23):
         xx = rnd(1, 1 << lg)
+        # NTT.ntt now dispatches to the four-step form at these sizes on
+        # accelerators (ops/ntt._use_four_step) — this IS the post-dispatch
+        # number; the radix-2 'before' is recorded separately
         t = bench(jax.jit(NTT.ntt), xx, reps=3)
         out[f"ntt_2e{lg}_s"] = t
         out[f"ntt_2e{lg}_butterflies_per_s"] = (1 << lg) * lg / 2 / t
+        t2 = bench(jax.jit(NTT._ntt_butterfly), xx, reps=3)
+        out[f"ntt_2e{lg}_radix2_s"] = t2
         del xx
     # Rescue permutation throughput at commit width (perms/s) + MDS Gmul/s
     stb = rnd(14, 1 << 16)
