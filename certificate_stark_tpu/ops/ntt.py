@@ -202,16 +202,27 @@ def ntt_four_step(a: jnp.ndarray, inverse: bool = False,
     m = jnp.swapaxes(m, -1, -2)                  # [4, .., n1, n2]
     s = ntt(m, inverse)                          # columns: over i2
     if n >= _DEVICE_TABLE_MIN:
-        # build T[i1,k2] = w^(i1*k2) on device: full powers table (log-
-        # doubling) + an iota-product gather — no big embedded constant
-        # (same HTTP-413 rationale as the butterfly's powers_device path)
+        # build T[i1,k2] = (w^i1)^k2 on device by log-doubling along the
+        # k2 axis with per-row bases: T[:, :2m] = [T_m | T_m * base^m].
+        # ~n field muls total, no big embedded constant (HTTP-413: a 2^23
+        # table is ~230 MB of HLO literal) and no n-sized gather — the
+        # earlier iota-product + 8M-index take lowered to a gather that
+        # the remote-compile path never finished at 2^23
         w = root_of_unity(n)
         if inverse:
             w = pow(w, F.P - 2, F.P)
-        full = powers_device(w, n)               # [4, n]
-        idx = (jnp.arange(n1, dtype=jnp.int32)[:, None]
-               * jnp.arange(n2, dtype=jnp.int32)[None, :]) & (n - 1)
-        tw = jnp.take(full, idx.reshape(-1), axis=-1).reshape(4, n1, n2)
+        base = powers_device(w, n1)              # [4, n1] = w^i1
+        tw = jnp.broadcast_to(
+            jnp.asarray(F.ONE_MONT).reshape(4, 1, 1), (4, n1, 1))
+        cur = base                               # base^(2^j) elementwise
+        k = 1
+        while k < n2:
+            tw = jnp.concatenate(
+                [tw, F.mul(tw, jnp.broadcast_to(cur[:, :, None], tw.shape))],
+                axis=-1)
+            if 2 * k < n2:
+                cur = F.mul(cur, cur)
+            k *= 2
     else:
         tw = _four_step_twiddles(n, n1, n2, inverse)  # [4, n1, n2]
     tw = tw.reshape((4,) + (1,) * len(lead) + (n1, n2))

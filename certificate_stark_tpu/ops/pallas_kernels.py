@@ -113,20 +113,20 @@ def _rescue_perm_kernel(state_ref, mds_ref, ark_ref, o_ref):
                       jnp.broadcast_to(s, (4, 14, 14, blk)))
         return _k_sumred(prod)
 
-    def body(r, st):
+    st = st0
+    # rounds unrolled with STATIC ark slices: a traced fori_loop index made
+    # the dynamic_slice on the 3D table lower to a >2D gather, which Mosaic
+    # rejects ("Only 2D gather is supported")
+    for r in range(7):
         st = _k_mul(st, _k_mul(st, st))        # s-box x^3
         st = mds_apply(st)
         st = F.add(st, jnp.broadcast_to(
-            jax.lax.dynamic_slice(ark, (0, r, 0), (4, 1, 14))
-            .reshape(4, 14, 1), st.shape))
+            ark[:, r, :14].reshape(4, 14, 1), st.shape))
         st = _k_pow(st, D.INV_ALPHA)           # inverse s-box
         st = mds_apply(st)
         st = F.add(st, jnp.broadcast_to(
-            jax.lax.dynamic_slice(ark, (0, r, 14), (4, 1, 14))
-            .reshape(4, 14, 1), st.shape))
-        return st
-
-    o_ref[...] = jax.lax.fori_loop(0, 7, body, st0)
+            ark[:, r, 14:].reshape(4, 14, 1), st.shape))
+    o_ref[...] = st
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -161,7 +161,7 @@ def _local_ntt_kernel(x_ref, tw_ref, o_ref):
     all stages run on the VMEM-resident block.
     """
     x = x_ref[...]
-    master = tw_ref[...]
+    stages = tw_ref[...]                       # [4, m-1] per-stage twiddles
     m = x.shape[-1]
     blk_b = x.shape[1]
     for s in range(1, m.bit_length()):
@@ -169,7 +169,10 @@ def _local_ntt_kernel(x_ref, tw_ref, o_ref):
         half = ms >> 1
         xr = x.reshape(4, blk_b, m // ms, ms)
         even, odd = xr[..., :half], xr[..., half:]
-        tw = master[:, :: m // ms].reshape(4, 1, 1, half)
+        # stage twiddles live at [half-1 : 2*half-1] of the concatenated
+        # table — a STATIC contiguous slice (an in-kernel strided lane
+        # slice of the master table lowered to an unsupported gather)
+        tw = stages[:, half - 1:2 * half - 1].reshape(4, 1, 1, half)
         t = _k_mul(odd, jnp.broadcast_to(tw, odd.shape))
         x = jnp.concatenate([F.add(even, t), F.sub(even, t)],
                             axis=-1).reshape(4, blk_b, m)
@@ -191,15 +194,22 @@ def pallas_local_ntt(a: jnp.ndarray, inverse: bool = False,
     x = jnp.take(a, NTT.bitrev_indices(m), axis=-1)
     blk_b = min(bdim, NTT_BLK_B)
     assert bdim % blk_b == 0
+    # concatenate each stage's (strided) twiddle subset host-side so the
+    # kernel only ever takes static contiguous slices: [w^0], [w^0, w^{m/4}],
+    # ... — stage s occupies [2^{s-1}-1 : 2^s-1], total m-1 entries
+    master = np.asarray(NTT.twiddles(m, inverse))
+    stages = np.concatenate(
+        [master[:, ::m // (1 << s)]
+         for s in range(1, m.bit_length())], axis=-1)
     out = pl.pallas_call(
         _local_ntt_kernel,
         out_shape=jax.ShapeDtypeStruct(a.shape, a.dtype),
         grid=(bdim // blk_b,),
         in_specs=[pl.BlockSpec((4, blk_b, m), lambda i: (0, i, 0)),
-                  pl.BlockSpec((4, m // 2), lambda i: (0, 0))],
+                  pl.BlockSpec((4, m - 1), lambda i: (0, 0))],
         out_specs=pl.BlockSpec((4, blk_b, m), lambda i: (0, i, 0)),
         interpret=interpret,
-    )(x, jnp.asarray(NTT.twiddles(m, inverse)))
+    )(x, jnp.asarray(stages))
     if inverse:
         out = F.mul_const(out, F.const(pow(m, F.P - 2, F.P)))
     return out

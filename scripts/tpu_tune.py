@@ -52,8 +52,17 @@ def main():
     from certificate_stark_tpu.ops import rescue as R
     from certificate_stark_tpu.ops import pallas_kernels as PK
 
-    out = {"backend": jax.default_backend(),
-           "device": str(jax.devices()[0])}
+    class _Streamed(dict):
+        """Echo each metric to stderr as it lands, so a run killed mid-
+        measurement (big-shape compiles through the tunnel can take hours)
+        still leaves every completed number on record."""
+
+        def __setitem__(self, k, v):
+            print(f"# {k} = {v}", file=sys.stderr, flush=True)
+            super().__setitem__(k, v)
+
+    out = _Streamed({"backend": jax.default_backend(),
+                     "device": str(jax.devices()[0])})
     rng = np.random.default_rng(0)
 
     def rnd(*s):
