@@ -17,12 +17,33 @@ import numpy as np
 _LIB = None
 
 
+def _try_build(root):
+    """Build native/libf63.so in-tree if the compiler is present. Compiled
+    binaries are untracked, so a fresh checkout has no .so — without this,
+    every cold run silently pays the Python fallbacks (a 2^23-domain
+    boundary-table inversion is ~3 h of numpy vs ~1 s of C).
+    Disable with CSTARK_NO_NATIVE_BUILD=1."""
+    if os.environ.get("CSTARK_NO_NATIVE_BUILD"):
+        return
+    import subprocess
+    script = os.path.join(root, "scripts", "build_native.sh")
+    if not os.path.exists(script):
+        return
+    try:
+        subprocess.run(["bash", script], cwd=root, check=True,
+                       capture_output=True, timeout=300)
+    except Exception:  # noqa: BLE001 — fall back to Python paths
+        pass
+
+
 def lib():
     global _LIB
     if _LIB is None:
-        path = os.path.join(os.path.dirname(__file__), "..", "..", "native",
-                            "libf63.so")
-        path = os.path.abspath(path)
+        root = os.path.abspath(os.path.join(os.path.dirname(__file__),
+                                            "..", ".."))
+        path = os.path.join(root, "native", "libf63.so")
+        if not os.path.exists(path):
+            _try_build(root)
         if not os.path.exists(path):
             raise FileNotFoundError(path)
         L = ctypes.CDLL(path)
