@@ -467,6 +467,12 @@ def np_const(x: int, mont: bool = True) -> np.ndarray:
 
 def np_powers(base: int, count: int) -> np.ndarray:
     """[base^0 .. base^(count-1)] as Montgomery limbs [4, count] (numpy)."""
+    if count >= 4096:
+        # the numpy log-doubling below costs minutes at 2^22+ counts (limb
+        # mul = ~40 stacked array ops); the C chain is one modmul/element
+        from ..utils import native as NAT
+        if NAT.available():
+            return unpack_u64(NAT.powers_mont(base, count))
     if count == 1:
         return ONE_MONT.reshape(4, 1).copy()
     tbl = np.stack([ONE_MONT, np_const(base)], axis=1)

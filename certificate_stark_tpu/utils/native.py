@@ -89,6 +89,7 @@ def lib():
         L.f63_fri_fold2.argtypes = [u64p, ctypes.c_uint64, ctypes.c_uint64,
                                     u64p, u64p, u64p]
         L.f63_batch_inv.argtypes = [u64p, ctypes.c_uint64, u64p]
+        L.f63_powers_mont.argtypes = [ctypes.c_uint64, ctypes.c_uint64, u64p]
         L.f63_ext_nr_mont.restype = ctypes.c_uint64
         assert L.f63_ext_nr_mont() == (3 << 64) % _P, \
             "native tower constants out of sync with params/extensions.py"
@@ -279,6 +280,14 @@ def batch_inv(a: np.ndarray) -> np.ndarray:
     out = np.empty_like(flat)
     lib().f63_batch_inv(_p(flat), flat.size, _p(out))
     return out.reshape(a.shape)
+
+
+def powers_mont(base: int, count: int) -> np.ndarray:
+    """[base^0 .. base^(count-1)] as u64 Montgomery values (base canonical)."""
+    out = np.empty(count, dtype=np.uint64)
+    lib().f63_powers_mont(ctypes.c_uint64(int(base) % _P),
+                          ctypes.c_uint64(count), _p(out))
+    return out
 
 
 def blake3_commit_levels(cols_mont: np.ndarray) -> list:

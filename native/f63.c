@@ -52,6 +52,20 @@ void f63_inv_vec(const u64 *a, u64 *out, size_t n) {
     for (size_t i = 0; i < n; i++) out[i] = f_pow(a[i], P - 2);
 }
 
+/* Montgomery-form powers table: out[i] = base^i * R mod P (base canonical).
+ * Multiplying a Montgomery value by a canonical scalar stays in Montgomery
+ * form, so the whole table is one sequential modmul chain. Feeds the
+ * host-side protocol tables (ops/field.np_powers), whose limb-form numpy
+ * log-doubling costs minutes at a 2^23 domain. */
+void f63_powers_mont(u64 base, u64 n, u64 *out) {
+    const u64 R = 18446744073709551615ULL % P + 1; /* 2^64 mod P */
+    u64 cur = R % P;
+    for (u64 i = 0; i < n; i++) {
+        out[i] = cur;
+        cur = f_mul(cur, base);
+    }
+}
+
 /* ---- Rescue63 --------------------------------------------------------- */
 #define STATE 14
 static const u64 INV_ALPHA = 3146514939656186539ULL;
