@@ -687,13 +687,28 @@ class Prover:
             ztbl = XF.ext_powers_dyn(z, n, d)          # [4, d, n]
             zgtbl = XF.ext_powers_dyn(zg, n, d)
             zktbl = XF.ext_powers_dyn(zk, n, d)
+
             # NOTE: these reduce over the INNERMOST (contiguous) axis — the
             # mul+tree-reduce form is ~75x faster there than a deferred-REDC
             # dot (mul_sum), which only wins on middle-axis reductions.
-            ood_z = NTT.sum_reduce(
-                F.mul(trace_coeffs[:, None], ztbl[:, :, None, :]), axis=-1)
-            ood_zg = NTT.sum_reduce(
-                F.mul(trace_coeffs[:, None], zgtbl[:, :, None, :]), axis=-1)
+            def tdot(grp):
+                # [4, wc, n] -> ([4, wc, d], [4, wc, d]); column-minor so the
+                # group mapper can stitch along axis 1
+                oz = NTT.sum_reduce(
+                    F.mul(grp[:, None], ztbl[:, :, None, :]), axis=-1)
+                ozg = NTT.sum_reduce(
+                    F.mul(grp[:, None], zgtbl[:, :, None, :]), axis=-1)
+                return oz.transpose(0, 2, 1), ozg.transpose(0, 2, 1)
+
+            # chunk over column groups: the unchunked Montgomery partial-
+            # product tensor is [4, 4, w, n] (~24 GB at the 94 x 2^20
+            # flagship — OOMed the v5e), the grouped one is w/wc times less
+            if lde_cols is None or w <= lde_cols:
+                oz_t, ozg_t = tdot(trace_coeffs)
+            else:
+                oz_t, ozg_t = _map_col_groups(tdot, trace_coeffs, lde_cols)
+            ood_z = oz_t.transpose(0, 2, 1)
+            ood_zg = ozg_t.transpose(0, 2, 1)
             ood_h = NTT.sum_reduce(
                 XF.ext_mul(h_coeffs, zktbl[:, :, None, :], d), axis=-1)
             return ood_z, ood_zg, ood_h                # [4,d,w], [4,d,w], [4,d,k]
