@@ -275,7 +275,10 @@ class Prover:
         # investigation; scripts/repro_chunk64k.py), while 8k AND 32k verify
         # end-to-end (DESIGN.md "Chunk sizing"). Default to the largest
         # verified size; raise only with a passing proof at the new size.
-        return 32768
+        # Small domains still chunk (>= 4 segments): at bn = 2^15 the
+        # unchunked fused graph measured 0.90 s vs 0.63 s chunked on the
+        # rescue-chain-1024 bench (BASELINE.md round-4 table).
+        return min(32768, max(8192, self.bn // 4))
 
     def _pick_lde_cols(self):
         """Column-group size for chunked big-domain transforms (lax.map over
