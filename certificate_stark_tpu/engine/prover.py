@@ -104,30 +104,37 @@ def _use_native_commit(hasher) -> bool:
         return False
 
 
-_GATHER_QUERY = None
+_GATHER_ROWS = None
+_GATHER_FRI = None
 
 
-def _gather_query_data(lde, h_rows, groups, pos, leaf_idxs):
-    """All query-phase value gathers (trace+h rows, FRI group rows) fused into
-    a single jitted dispatch. jit caches per shape signature, so repeated
-    proofs of same-shape instances reuse the compiled kernel."""
-    global _GATHER_QUERY
-    if _GATHER_QUERY is None:
-        def g(lde_, h_rows_, groups_, pos_, leaf_idxs_):
-            # gather each source separately and concatenate the [.., Q]-sized
-            # results — concatenating the full-domain arrays first would
-            # materialize a second (w+k*d) x bn array if XLA doesn't fuse
+def _gather_query_rows(lde, h_rows, pos):
+    """Trace + composition row gathers in one jitted dispatch. Kept separate
+    from the FRI-group gathers so the caller can free the packed LDE (6.3 GB
+    at the 2^23 flagship) before dispatching anything else: the single fused
+    gather graph exhausted HBM at 94 x 2^23 with every FRI layer resident."""
+    global _GATHER_ROWS
+    if _GATHER_ROWS is None:
+        def g(lde_, h_rows_, pos_):
             tr = jnp.take(lde_, pos_, axis=-1)
             if lde_.shape[0] == 2:       # packed-LDE layout (_pick_pack_lde)
                 tr = F.unpack2(tr)
-            rows = jnp.concatenate([tr,
-                                    jnp.take(h_rows_, pos_, axis=-1)], axis=1)
-            fri = [jnp.take(
+            return jnp.concatenate([tr, jnp.take(h_rows_, pos_, axis=-1)],
+                                   axis=1)
+        _GATHER_ROWS = jax.jit(g)
+    return _GATHER_ROWS(lde, h_rows, pos)
+
+
+def _gather_query_fri(groups, leaf_idxs):
+    """FRI layer-group gathers in one jitted dispatch."""
+    global _GATHER_FRI
+    if _GATHER_FRI is None:
+        def g(groups_, leaf_idxs_):
+            return [jnp.take(
                 gr.transpose(0, 2, 1, 3).reshape(4, -1, gr.shape[-1]),
                 ix, axis=-1) for gr, ix in zip(groups_, leaf_idxs_)]
-            return rows, fri
-        _GATHER_QUERY = jax.jit(g)
-    return _GATHER_QUERY(lde, h_rows, list(groups), pos, list(leaf_idxs))
+        _GATHER_FRI = jax.jit(g)
+    return _GATHER_FRI(list(groups), list(leaf_idxs))
 
 
 _COMMIT_CHUNK = 1 << 16
@@ -1277,10 +1284,11 @@ class Prover:
             quarter = layer.n // fold
             leaf_idxs.append([p % quarter for p in p_cur])
             p_cur = leaf_idxs[-1]
-        rows_dev, fri_dev = _gather_query_data(
-            lde, h_rows, [l.group for l in fri_layers],
-            np.asarray(positions), [np.asarray(i) for i in leaf_idxs])
+        rows_dev = _gather_query_rows(lde, h_rows, np.asarray(positions))
         rows_host = F.to_int(np.asarray(rows_dev))
+        del lde, h_rows, rows_dev    # 6.3 GB + 1.1 GB at the 2^23 flagship
+        fri_dev = _gather_query_fri([l.group for l in fri_layers],
+                                    [np.asarray(i) for i in leaf_idxs])
         lde_host, h_host = rows_host[:w], rows_host[w:]          # [w|k*d, Q]
         all_paths = M.prove_batch_multi(
             [trace_tree, h_tree] + [l.tree for l in fri_layers],
