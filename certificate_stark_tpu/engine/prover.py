@@ -116,11 +116,21 @@ def _gather_query_rows(lde, h_rows, pos):
     global _GATHER_ROWS
     if _GATHER_ROWS is None:
         def g(lde_, h_rows_, pos_):
-            tr = jnp.take(lde_, pos_, axis=-1)
+            # per-position dynamic_slice under lax.map instead of one gather:
+            # an XLA:TPU gather on the minor-most axis of the 6.3 GB packed
+            # operand materialized enough workspace to OOM; dynamic_slice
+            # reads in place
+            def one(p):
+                tr = jax.lax.dynamic_slice(
+                    lde_, (0, 0, p), lde_.shape[:2] + (1,))[..., 0]
+                hr = jax.lax.dynamic_slice(
+                    h_rows_, (0, 0, p), h_rows_.shape[:2] + (1,))[..., 0]
+                return tr, hr
+            trs, hrs = jax.lax.map(one, pos_.astype(jnp.int32))
+            tr = jnp.moveaxis(trs, 0, -1)          # [2|4, w, Q]
             if lde_.shape[0] == 2:       # packed-LDE layout (_pick_pack_lde)
                 tr = F.unpack2(tr)
-            return jnp.concatenate([tr, jnp.take(h_rows_, pos_, axis=-1)],
-                                   axis=1)
+            return jnp.concatenate([tr, jnp.moveaxis(hrs, 0, -1)], axis=1)
         _GATHER_ROWS = jax.jit(g)
     return _GATHER_ROWS(lde, h_rows, pos)
 
