@@ -105,6 +105,7 @@ def _use_native_commit(hasher) -> bool:
 
 
 _GATHER_ROWS = None
+_GATHER_ROW1 = None
 _GATHER_FRI = None
 
 
@@ -113,24 +114,34 @@ def _gather_query_rows(lde, h_rows, pos):
     from the FRI-group gathers so the caller can free the packed LDE (6.3 GB
     at the 2^23 flagship) before dispatching anything else: the single fused
     gather graph exhausted HBM at 94 x 2^23 with every FRI layer resident."""
-    global _GATHER_ROWS
+    global _GATHER_ROWS, _GATHER_ROW1
+    if lde.size * 4 > (4 << 30):
+        # Big-domain path (2^23 packed flagship): ONE jitted dynamic_slice,
+        # dispatched per position. Both whole-graph forms OOM the v5e here —
+        # the fused take materializes gather workspace, and a lax.map of
+        # dynamic_slices was buffer-assigned ~5 copies of the operands
+        # (30.9 G program); a single-slice program allocates only its output.
+        # ~Q extra dispatches (~ms each) are noise at this proof size.
+        if _GATHER_ROW1 is None:
+            def one(lde_, h_rows_, p):
+                return (jax.lax.dynamic_slice(
+                            lde_, (0, 0, p), lde_.shape[:2] + (1,)),
+                        jax.lax.dynamic_slice(
+                            h_rows_, (0, 0, p), h_rows_.shape[:2] + (1,)))
+            _GATHER_ROW1 = jax.jit(one)
+        parts = [_GATHER_ROW1(lde, h_rows, np.int32(p)) for p in pos]
+        tr = jnp.concatenate([t for t, _ in parts], axis=-1)
+        if lde.shape[0] == 2:
+            tr = F.unpack2(tr)
+        return jnp.concatenate(
+            [tr, jnp.concatenate([h for _, h in parts], axis=-1)], axis=1)
     if _GATHER_ROWS is None:
         def g(lde_, h_rows_, pos_):
-            # per-position dynamic_slice under lax.map instead of one gather:
-            # an XLA:TPU gather on the minor-most axis of the 6.3 GB packed
-            # operand materialized enough workspace to OOM; dynamic_slice
-            # reads in place
-            def one(p):
-                tr = jax.lax.dynamic_slice(
-                    lde_, (0, 0, p), lde_.shape[:2] + (1,))[..., 0]
-                hr = jax.lax.dynamic_slice(
-                    h_rows_, (0, 0, p), h_rows_.shape[:2] + (1,))[..., 0]
-                return tr, hr
-            trs, hrs = jax.lax.map(one, pos_.astype(jnp.int32))
-            tr = jnp.moveaxis(trs, 0, -1)          # [2|4, w, Q]
+            tr = jnp.take(lde_, pos_, axis=-1)
             if lde_.shape[0] == 2:       # packed-LDE layout (_pick_pack_lde)
                 tr = F.unpack2(tr)
-            return jnp.concatenate([tr, jnp.moveaxis(hrs, 0, -1)], axis=1)
+            return jnp.concatenate([tr, jnp.take(h_rows_, pos_, axis=-1)],
+                                   axis=1)
         _GATHER_ROWS = jax.jit(g)
     return _GATHER_ROWS(lde, h_rows, pos)
 
