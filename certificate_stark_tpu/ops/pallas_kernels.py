@@ -73,14 +73,22 @@ def _k_pow(a, e: int):
 
 
 def _k_sumred(x):
-    """Field-sum over axis -2 of [4, ..., n, blk] via tree halving."""
+    """Field-sum over axis -2 of [4, ..., n, blk] via tree halving.
+
+    Folds the CONTIGUOUS top half onto the bottom half each step: stride-2
+    slices ([..., 0::2, :]) lower to a >2D gather, which Mosaic rejects
+    ("Only 2D gather is supported"); contiguous static slices lower to
+    plain vector slices. Field addition is commutative+associative, so the
+    pairing order does not change the sum."""
     while x.shape[-2] > 1:
         n = x.shape[-2]
-        if n % 2:
-            x = jnp.concatenate(
-                [x, jnp.zeros(x.shape[:-2] + (1,) + x.shape[-1:], x.dtype)],
-                axis=-2)
-        x = F.add(x[..., 0::2, :], x[..., 1::2, :])
+        h = (n + 1) // 2
+        lo, hi = x[..., :h, :], x[..., h:, :]
+        if hi.shape[-2] < h:
+            hi = jnp.concatenate(
+                [hi, jnp.zeros(hi.shape[:-2] + (h - hi.shape[-2],)
+                               + hi.shape[-1:], hi.dtype)], axis=-2)
+        x = F.add(lo, hi)
     return x[..., 0, :]
 
 
@@ -150,69 +158,17 @@ def pallas_rescue_permutation(state: jnp.ndarray, interpret: bool = False):
     )(state, jnp.asarray(R.MDS), jnp.asarray(R.ARK))
 
 
-def _local_ntt_kernel(x_ref, tw_ref, o_ref):
-    """All log2(m) radix-2 stages of a size-m NTT, in-VMEM per block.
-
-    x: [4, blkB, m] bit-reversal-permuted inputs (the wrapper pre-permutes —
-    dynamic lane gathers are a poor fit inside TPU kernels, static strided
-    slices of the twiddle table are not). tw: master table [4, m/2]. This is
-    the local-transform building block of the four-step large NTT: the XLA
-    path (ops/ntt.py) round-trips the array through HBM once per stage; here
-    all stages run on the VMEM-resident block.
-    """
-    x = x_ref[...]
-    stages = tw_ref[...]                       # [4, m-1] per-stage twiddles
-    m = x.shape[-1]
-    blk_b = x.shape[1]
-    for s in range(1, m.bit_length()):
-        ms = 1 << s
-        half = ms >> 1
-        xr = x.reshape(4, blk_b, m // ms, ms)
-        even, odd = xr[..., :half], xr[..., half:]
-        # stage twiddles live at [half-1 : 2*half-1] of the concatenated
-        # table — a STATIC contiguous slice (an in-kernel strided lane
-        # slice of the master table lowered to an unsupported gather)
-        tw = stages[:, half - 1:2 * half - 1].reshape(4, 1, 1, half)
-        t = _k_mul(odd, jnp.broadcast_to(tw, odd.shape))
-        x = jnp.concatenate([F.add(even, t), F.sub(even, t)],
-                            axis=-1).reshape(4, blk_b, m)
-    o_ref[...] = x
-
-
-NTT_BLK_B = 8
-
-
-@functools.partial(jax.jit, static_argnames=("inverse", "interpret"))
-def pallas_local_ntt(a: jnp.ndarray, inverse: bool = False,
-                     interpret: bool = False):
-    """NTT along the last axis of [4, B, m] with all stages fused in one
-    pallas kernel (grid over the batch axis). Semantics match ops/ntt.ntt."""
-    from . import ntt as NTT
-
-    four, bdim, m = a.shape
-    assert four == 4 and m & (m - 1) == 0 and m > 1
-    x = jnp.take(a, NTT.bitrev_indices(m), axis=-1)
-    blk_b = min(bdim, NTT_BLK_B)
-    assert bdim % blk_b == 0
-    # concatenate each stage's (strided) twiddle subset host-side so the
-    # kernel only ever takes static contiguous slices: [w^0], [w^0, w^{m/4}],
-    # ... — stage s occupies [2^{s-1}-1 : 2^s-1], total m-1 entries
-    master = np.asarray(NTT.twiddles(m, inverse))
-    stages = np.concatenate(
-        [master[:, ::m // (1 << s)]
-         for s in range(1, m.bit_length())], axis=-1)
-    out = pl.pallas_call(
-        _local_ntt_kernel,
-        out_shape=jax.ShapeDtypeStruct(a.shape, a.dtype),
-        grid=(bdim // blk_b,),
-        in_specs=[pl.BlockSpec((4, blk_b, m), lambda i: (0, i, 0)),
-                  pl.BlockSpec((4, m - 1), lambda i: (0, 0))],
-        out_specs=pl.BlockSpec((4, blk_b, m), lambda i: (0, i, 0)),
-        interpret=interpret,
-    )(x, jnp.asarray(stages))
-    if inverse:
-        out = F.mul_const(out, F.const(pow(m, F.P - 2, F.P)))
-    return out
+# pallas_local_ntt DELETED (round 4, with data): the fused-stage radix-2
+# kernel requires merging (m/ms, ms) sub-block axes into the lane axis each
+# stage, and Mosaic rejects lane-merging reshapes outright ("Shape mismatch"
+# at the final .reshape(4, blk_b, m)); avoiding it needs per-stage twiddle
+# inputs whose 1- or 8-lane minor dims pad to 128 lanes (~10 MB VMEM at
+# m=1024) or in-kernel transposes Mosaic also lacks. Meanwhile the XLA
+# four-step path this kernel was meant to beat measures 2.60 ms at 2^20
+# (scripts/tpu_tune_r4.json) with the local DFT-128 already on the MXU —
+# there is no headroom a hand kernel can claim at the ~0.5-1 ms dispatch
+# floor of the remote-tunnel runtime. Decision + evidence: DESIGN.md
+# ("Pallas layer verdict").
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -89,12 +89,8 @@ def main():
     x = rnd(14, 1 << 15)
     out["ntt_radix2_32k_s"] = bench(jax.jit(NTT.ntt), x)
     out["ntt_fourstep_32k_s"] = bench(jax.jit(NTT.ntt_four_step), x)
-    try:
-        xl = rnd(64, 1024)
-        out["ntt_pallas_local_1k_s"] = bench(
-            lambda v: PK.pallas_local_ntt(v), xl)
-    except Exception as e:  # noqa: BLE001
-        out["ntt_pallas_local_1k_s"] = f"FAIL {type(e).__name__}: {e}"
+    # pallas_local_ntt deleted round 4 (Mosaic lane-merging reshape wall;
+    # XLA four-step already at the dispatch floor) — see DESIGN.md.
     big = rnd(1, 1 << 20)
     out["ntt_radix2_1m_s"] = bench(jax.jit(NTT.ntt), big)
     out["ntt_fourstep_1m_s"] = bench(jax.jit(NTT.ntt_four_step), big)

@@ -26,14 +26,3 @@ def test_pallas_rescue_permutation_matches():
     assert np.array_equal(got, exp)
 
 
-def test_pallas_local_ntt_matches():
-    from certificate_stark_tpu.ops import ntt as NTT
-    rng = np.random.default_rng(4)
-    vals = rng.integers(0, F.P, size=(16, 256), dtype=np.uint64)
-    a = jnp.asarray(F.from_int(vals))
-    got = np.asarray(PK.pallas_local_ntt(a, interpret=True))
-    exp = np.asarray(NTT.ntt(a))
-    assert np.array_equal(got, exp)
-    gi = np.asarray(PK.pallas_local_ntt(a, inverse=True, interpret=True))
-    ei = np.asarray(NTT.intt(a))
-    assert np.array_equal(gi, ei)
