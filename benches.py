@@ -9,10 +9,11 @@ harness. Sizes are configurable; defaults are scaled-down for CPU runs
 """
 import argparse
 import json
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def run(name, example_factory):

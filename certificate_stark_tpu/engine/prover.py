@@ -207,6 +207,7 @@ def _domain_xs(gen_big, bn, offset):
 
 class Prover:
     def __init__(self, air, hasher=None):
+        tm = _PhaseTimer()
         self.air = air
         opts = air.options
         self.opts = opts
@@ -225,6 +226,7 @@ class Prover:
         # compact periodic block [4, P, L], L = blowup * lcm(cycles); tiled
         # to the consumer's segment on demand (_periodic_tiled)
         self._periodic = air.periodic_lde(self.b, self.offset)
+        tm.mark("init: periodic LDE")
         self._native_kind = self._pick_native_eval()
         self._native_ntt = self._pick_native_ntt()
         self._eval_chunk = self._pick_eval_chunk()
@@ -235,6 +237,7 @@ class Prover:
         if key not in _PHASE_CACHE:
             self._build_phases()
             _PHASE_CACHE[key] = {a: getattr(self, a) for a in _PHASE_ATTRS}
+            tm.mark("init: build phases")
         else:
             for a, v in _PHASE_CACHE[key].items():
                 setattr(self, a, v)
@@ -254,9 +257,14 @@ class Prover:
             if (self._pack_lde and self._b_struct[i].get("ev_compact"))
             else jnp.asarray(t.b_evals)
             for i, t in enumerate(tables))
-        self._b_ev_u = (np.concatenate(
-            [F.pack_u64(np.asarray(t.b_evals)) for t in tables], axis=0)
-            if tables else np.zeros((0, self.bn), dtype=np.uint64))
+        # u64-packed boundary evals: consumed only by the native CPU compose
+        # kernel — skip the multi-hundred-MB host packing on device backends
+        self._b_ev_u = None
+        if self._native_kind and self._native_ntt:
+            self._b_ev_u = (np.concatenate(
+                [F.pack_u64(np.asarray(t.b_evals)) for t in tables], axis=0)
+                if tables else np.zeros((0, self.bn), dtype=np.uint64))
+        tm.mark("init: boundary tables")
 
     def _cache_key(self):
         from ..utils import curve as CV
@@ -979,8 +987,15 @@ class Prover:
 
         # u64-packed protocol tables for the native CPU compose/DEEP kernels
         # (native/deep_compose.c); pure functions of the AIR shape, so cached
-        # with the phase kernels. Harmless to build when unused.
+        # with the phase kernels. Built ONLY when a native path is active:
+        # at bn = 2^23 these are ~0.5 GB of host numpy packing that the
+        # device pipeline never reads (part of the round-4 untracked host
+        # gap in the 1024-tx profile).
         adj_order = sorted(xpow)
+        if not (self._native_kind or self._native_ntt):
+            self._nt = None
+            self._build_fri_kernels(bn, offset, gen_big)
+            return
         self._nt = {
             "xs": F.pack_u64(xs),
             "zt_inv": F.pack_u64(zt_inv),
@@ -1005,6 +1020,9 @@ class Prover:
                 if b_struct else np.zeros((0, bn), dtype=np.uint64),
         }
 
+        self._build_fri_kernels(bn, offset, gen_big)
+
+    def _build_fri_kernels(self, bn, offset, gen_big):
         # FRI layer kernels, one per layer size
         self._fri_kernels = {}
         self._fri_native = {}
@@ -1165,6 +1183,7 @@ class Prover:
         t_beta = self._draw_coeffs(coin, nc)
         b_alpha = self._draw_coeffs(coin, nb)
         b_beta = self._draw_coeffs(coin, nb)
+        tm.mark("coin + coeff draws")
 
         data = ck.load("composition") if ck else None
         if data is not None:
@@ -1277,6 +1296,7 @@ class Prover:
                 xi = jnp.asarray(F.from_int(np.array(xi_ints, dtype=object)))
                 cur = fold_kernel(cur, xi)
             fri_layers.append(FRI.FriLayer(tree, size, o, gw, group))
+            tm.mark(f"fri layer {size}", cur)
             size //= fold
             o = pow(o, fold, F.P)
             gw = pow(gw, fold, F.P)
@@ -1308,12 +1328,14 @@ class Prover:
         rows_dev = _gather_query_rows(lde, h_rows, np.asarray(positions))
         rows_host = F.to_int(np.asarray(rows_dev))
         del lde, h_rows, rows_dev    # 6.3 GB + 1.1 GB at the 2^23 flagship
+        tm.mark("query row gathers")
         fri_dev = _gather_query_fri([l.group for l in fri_layers],
                                     [np.asarray(i) for i in leaf_idxs])
         lde_host, h_host = rows_host[:w], rows_host[w:]          # [w|k*d, Q]
         all_paths = M.prove_batch_multi(
             [trace_tree, h_tree] + [l.tree for l in fri_layers],
             [positions, positions] + leaf_idxs)
+        tm.mark("auth paths")
         t_paths, h_paths = all_paths[0], all_paths[1]
         layer_data = [
             (leaf_idx, F.to_int(np.asarray(vals)), paths)        # [fold*d, Q]

@@ -38,6 +38,18 @@ def _gen12():
     return list(CV.GEN12)
 
 
+def scalar_digits() -> int:
+    """Base-p digits needed to represent any scalar < the active curve's
+    group order (fp2 instance: 4; subfield: 3). Fixed per curve so the
+    pub-inputs element count — hence transcript layout and proof bytes —
+    is deterministic."""
+    nd, cap = 1, F.P
+    while cap < CV.SCALAR_Q:
+        nd += 1
+        cap *= F.P
+    return nd
+
+
 def build_sig_info(message28, signature):
     """(pkey12, s_bits, h_bits) for trace generation
     (schnorr/trace.rs:127-142)."""
@@ -191,12 +203,24 @@ class SchnorrAir(Air):
         self.signatures = [(list(map(int, rx)), int(s)) for rx, s in pub_inputs[1]]
 
     def pub_inputs_elements(self):
+        # The signature scalar s is bound to the transcript as FULL base-p
+        # digits — enough digits to cover the active curve's scalar order
+        # injectively (4 for the 245-bit fp2 instance, 3 for the 125-bit
+        # subfield one). Each digit is < p, so Fiat-Shamir absorption
+        # (coin.py reduces mod p) and proof serialization (proof.py 8-byte
+        # felts) are both lossless. Counterpart of winterfell's 32-byte
+        # Scalar::to_bytes in the reference pub inputs
+        # (src/schnorr/mod.rs:217, src/schnorr/air.rs:31-39).
+        nd = scalar_digits()
         out = []
         for m, (rx, s) in zip(self.messages, self.signatures):
             out.extend(m)
             out.extend(rx)
-            out.append(int(s) % F.P)       # scalar absorbed as base-p digits
-            out.append(int(s) // F.P)
+            s = int(s)
+            for _ in range(nd):
+                out.append(s % F.P)
+                s //= F.P
+            assert s == 0, "scalar exceeds the active curve's digit budget"
         return out
 
     def transition_degrees(self):

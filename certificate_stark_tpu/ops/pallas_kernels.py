@@ -6,10 +6,12 @@ NTT butterflies) into VMEM-resident fused kernels, and (b) control tiling for
 the 2^23-point LDE domain. Kernels fall back to interpret mode off-TPU, so the
 suite validates them on CPU.
 
-Round-1 scope: the fused Montgomery multiply over tiled [4, N] arrays and the
-full 7-round Rescue permutation (state resident in VMEM across all rounds —
-the XLA path round-trips the [4, 14, B] state through HBM between fused
-regions). NTT-stage kernels follow the same pattern (next round).
+Scope after the round-4 fix-or-delete verdict: the fused Montgomery multiply
+over tiled [4, N] arrays and the full 7-round Rescue permutation (state
+resident in VMEM across all rounds — the XLA path round-trips the [4, 14, B]
+state through HBM between fused regions). A local-NTT stage kernel was tried
+and DELETED with evidence (see the deletion note below): NTT stays on the XLA
+four-step/matmul path, which already hits its measured roofline share.
 """
 from __future__ import annotations
 

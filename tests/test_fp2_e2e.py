@@ -29,6 +29,17 @@ def test_schnorr_roundtrip_fp2():
     ex = SC.SchnorrExample(2, opts, seed=3)
     proof = ex.prove()
     assert ex.verify(proof)
+    # serialization roundtrip: the 245-bit scalar decomposes into 4 base-p
+    # digits (schnorr.scalar_digits), so every pub-input element fits the
+    # 8-byte felt encoding (this exact path crashed with the old 2-digit
+    # encoding — round-4 chip bench, engine/proof.py:48 OverflowError)
+    from certificate_stark_tpu.engine.proof import Proof
+    from certificate_stark_tpu.models.schnorr import scalar_digits
+    assert scalar_digits() == 4
+    data = proof.to_bytes()
+    p2 = Proof.from_bytes(data)
+    assert p2.to_bytes() == data
+    assert ex.verify(p2)
     bad_msgs = [list(reversed(m)) for m in ex.messages]
     with pytest.raises(VerificationError):
         ex.verify(proof, pub_inputs=(bad_msgs, ex.signatures))
