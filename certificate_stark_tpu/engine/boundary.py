@@ -27,14 +27,20 @@ class BoundaryGroup:
     key: tuple
     columns: np.ndarray          # int32 [g]
     b_evals: np.ndarray          # [4, g, bn] value-poly evals on the domain
-    inv_z: np.ndarray            # [4, bn]
+                                 # (compact mode: [4, g, 1] when all values
+                                 # are constants over the domain)
+    inv_z: np.ndarray            # [4, bn]; compact mode: None for single-
+                                 # step divisors (computed in-graph) and the
+                                 # UNTILED [4, period] block for periodic
+                                 # ones (tile on demand)
     adj: int
     # host-side data for the verifier
     assertions: list = None
 
 
-def _divisor_inv(n, bn, offset, g_trace, m, first, xs):
-    """1/(x^m - c) on the LDE domain, exploiting the period bn/m of x^m."""
+def _divisor_inv(n, bn, offset, g_trace, m, first, xs, tile=True):
+    """1/(x^m - c) on the LDE domain, exploiting the period bn/m of x^m.
+    tile=False returns only the [4, period] base block."""
     c = pow(g_trace, first * m, F.P)
     w = PH.root_of_unity(bn)
     wm = pow(w, m, F.P)
@@ -53,7 +59,7 @@ def _divisor_inv(n, bn, offset, g_trace, m, first, xs):
             vals.append(pow((cur - c) % F.P, F.P - 2, F.P))
             cur = cur * wm % F.P
         arr = F.from_int(np.array(vals, dtype=object))
-    return np.tile(arr, bn // period)
+    return np.tile(arr, bn // period) if tile else arr
 
 
 def _single_inv(bn, g_trace, step, xs):
@@ -107,35 +113,47 @@ def quotient_degree(key, n):
 _INVZ_CACHE = {}
 
 
-def _invz_for(key, n, bn, offset, g_trace, xs):
-    ck = (key, n, bn, offset)
+def _invz_for(key, n, bn, offset, g_trace, xs, compact=False):
+    ck = (key, n, bn, offset, compact)
     r = _INVZ_CACHE.get(ck)
     if r is None:
         if key[0] == "s":
-            r = _single_inv(bn, g_trace, key[1], xs)
+            # compact mode: single-step divisors invert in-graph per chunk
+            # (prover packed path) — the full-domain host inversion at
+            # bn = 2^23 is minutes of numpy Fermat chains without the
+            # native batch_inv (part of the round-4 untracked host gap)
+            r = None if compact else _single_inv(bn, g_trace, key[1], xs)
         else:
             m = n // key[2]
-            r = _divisor_inv(n, bn, offset, g_trace, m, key[1], xs)
+            r = _divisor_inv(n, bn, offset, g_trace, m, key[1], xs,
+                             tile=not compact)
         _INVZ_CACHE[ck] = r
     return r
 
 
 def build_boundary_tables(assertions, n, bn, blowup, offset, g_trace,
-                          comp_deg, xs):
-    """Precompute per-group tables (host numpy)."""
+                          comp_deg, xs, compact=False):
+    """Precompute per-group tables (host numpy).
+
+    compact=True (the prover's packed-LDE mode) avoids every full-domain
+    array: constant value evals stay [4, g, 1], single-step divisor
+    inverses are deferred to the in-graph per-chunk computation (inv_z
+    None), periodic divisor inverses keep only their base period block."""
     out = []
     for key, group in group_assertions(assertions, n).items():
         cols = np.array([a.column for a in group], dtype=np.int32)
+        seq = any(isinstance(a, SequenceAssertion) for a in group)
         evs = []
         for a in group:
             if isinstance(a, SequenceAssertion):
                 evs.append(_sequence_evals(n, bn, offset, g_trace,
                                            a.first_step, a.period, a.values))
             else:
+                width = 1 if (compact and not seq) else bn
                 evs.append(np.broadcast_to(
-                    F.np_const(a.value % F.P).reshape(4, 1), (4, bn)))
-        b_evals = np.stack(evs, axis=1)  # [4, g, bn]
-        inv_z = _invz_for(key, n, bn, offset, g_trace, xs)
+                    F.np_const(a.value % F.P).reshape(4, 1), (4, width)))
+        b_evals = np.stack(evs, axis=1)  # [4, g, bn] (or [4, g, 1] compact)
+        inv_z = _invz_for(key, n, bn, offset, g_trace, xs, compact=compact)
         out.append(BoundaryGroup(key=key, columns=cols, b_evals=b_evals,
                                  inv_z=inv_z,
                                  adj=comp_deg - quotient_degree(key, n),

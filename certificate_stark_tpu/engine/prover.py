@@ -242,12 +242,17 @@ class Prover:
             for a, v in _PHASE_CACHE[key].items():
                 setattr(self, a, v)
         # per-instance (pub-input-dependent) boundary value evaluations,
-        # ordered to match the cached group structure
+        # ordered to match the cached group structure. Packed mode: compact
+        # tables only — no full-domain host arrays (at bn = 2^23 the full
+        # xs/inv_z builds cost minutes of numpy when the native helpers are
+        # unavailable; round-4 untracked host gap).
         from .boundary import build_boundary_tables
-        xs = _domain_xs(self.gen_big, self.bn, self.offset)
+        xs = (None if self._pack_lde
+              else _domain_xs(self.gen_big, self.bn, self.offset))
         tables = build_boundary_tables(self.assertions, self.n, self.bn, self.b,
                                        self.offset, self.g_trace,
-                                       self.k * self.n - 1, xs)
+                                       self.k * self.n - 1, xs,
+                                       compact=self._pack_lde)
         assert [t.key for t in tables] == [g["key"] for g in self._b_struct], \
             "assertion structure differs across instances of the same AIR shape"
         # packed mode: value-constant groups pass ONE broadcastable column
@@ -558,23 +563,32 @@ class Prover:
             return _map_col_groups(body, trace, lde_cols)
 
         # ---- host-numpy protocol tables (concrete jit constants) ----------
+        # Packed mode builds NO full-domain host table: every [4, bn] array
+        # below is replaced by an S-sized seed block + per-chunk scalar
+        # ladder inside phase_composition_p/_deep_p (see _chunk_tables).
+        packed = self._pack_lde
         t_adjs = [comp_deg - (d.poly_degree(n) - (n - 1)) for d in self.degrees]
 
-        xs = _domain_xs(gen_big, bn, offset)
         # transition zerofier inverse: (x^n-1) has `b` distinct coset values
         w_b = PH.root_of_unity(bn)
         o_n = pow(offset, n, F.P)
         vals = [pow(o_n * pow(w_b, j * n, F.P) - 1, F.P - 2, F.P) for j in range(b)]
-        znum_inv = np.tile(F.from_int(np.array(vals, dtype=object)), bn // b)
+        znum_b = F.from_int(np.array(vals, dtype=object))      # [4, b]
         g_last = pow(g_trace, n - 1, F.P)
-        bc_last = np.broadcast_to(F.np_const(g_last).reshape(4, 1), (4, bn))
-        zt_inv = F.mul(znum_inv, F.sub(xs, bc_last, np), np)
+        if not packed:
+            xs = _domain_xs(gen_big, bn, offset)
+            znum_inv = np.tile(znum_b, bn // b)
+            bc_last = np.broadcast_to(F.np_const(g_last).reshape(4, 1), (4, bn))
+            zt_inv = F.mul(znum_inv, F.sub(xs, bc_last, np), np)
+        else:
+            xs = zt_inv = None
         # transition constraints grouped by degree adjustment; boundary
         # assertions grouped by divisor — everything evaluates as stacked
         # batched kernels whose graph size is independent of constraint count.
         from .boundary import build_boundary_tables
         b_tables = build_boundary_tables(self.assertions, n, bn, b,
-                                         offset, g_trace, comp_deg, xs)
+                                         offset, g_trace, comp_deg, xs,
+                                         compact=packed)
         # original-order coefficient indices per boundary group
         pos = {id(a): i for i, a in enumerate(self.assertions)}
         b_struct = []
@@ -592,10 +606,13 @@ class Prover:
         adj_mask = {g: np.array([adj == g for adj in t_adjs],
                                 dtype=np.uint32).reshape(1, -1, 1)
                     for g in adj_groups}
+        adj_all = set(t_adjs) | {g["adj"] for g in b_struct}
         xpow = {}
-        for adj in set(t_adjs) | {g["adj"] for g in b_struct}:
-            xpow[adj] = F.mul_const(F.np_powers(pow(gen_big, adj, F.P), bn),
-                                    F.np_const(pow(offset, adj, F.P)), np)
+        if not packed:
+            for adj in adj_all:
+                xpow[adj] = F.mul_const(
+                    F.np_powers(pow(gen_big, adj, F.P), bn),
+                    F.np_const(pow(offset, adj, F.P)), np)
 
         d = self.d
 
@@ -638,10 +655,12 @@ class Prover:
                 comp = F.add(comp, F.mul(term, b_iz[gi][:, None]))
             return comp
 
-        # stacked full-domain protocol tables (numpy; jit constants)
-        xp_t_full = [xpow[g] for g in adj_groups]
-        b_xp_full = [xpow[grp["adj"]] for grp in b_struct]
-        b_iz_full = [grp["inv_z"] for grp in b_struct]
+        # stacked full-domain protocol tables (numpy; jit constants) —
+        # unpacked path only (packed mode never calls these closures)
+        xp_t_full = [xpow[g] for g in adj_groups] if not packed else None
+        b_xp_full = [xpow[grp["adj"]] for grp in b_struct] if not packed \
+            else None
+        b_iz_full = [grp["inv_z"] for grp in b_struct] if not packed else None
 
         def _finish(comp):
             comp_coeffs = intt_big(comp)
@@ -855,13 +874,19 @@ class Prover:
             # embedded (a 2^23 domain otherwise bakes ~900 MB of literals
             # into the HLO -> HTTP 413 on the remote-compile relay).
             assert S % b == 0
-            znum_S = np.tile(znum_inv[:, :b], S // b)          # [4, S]
+            znum_S = np.tile(znum_b, S // b)                   # [4, S]
             glast_c = F.np_const(g_last).reshape(4, 1)
-            xs_blk0 = xs[:, :S]
+            # seed blocks are built at size S directly (np_powers at 32k is
+            # milliseconds; the old path sliced them out of full-domain
+            # [4, bn] tables that cost minutes to build at 2^23)
+            xs_blk0 = F.mul_const(F.np_powers(gen_big, S),
+                                  F.np_const(offset), np)
             xs_sc = F.np_powers(pow(gen_big, S, F.P), nch)     # [4, nch]
             xp_blk0, xp_sc = {}, {}
-            for adj in xpow:
-                xp_blk0[adj] = xpow[adj][:, :S]
+            for adj in adj_all:
+                xp_blk0[adj] = F.mul_const(
+                    F.np_powers(pow(gen_big, adj, F.P), S),
+                    F.np_const(pow(offset, adj, F.P)), np)
                 xp_sc[adj] = F.np_powers(pow(gen_big, adj * S, F.P), nch)
             from .air import SequenceAssertion as _SeqA
             b_modes = []   # per boundary group: how to produce inv_z / evals
@@ -876,6 +901,7 @@ class Prover:
                 else:
                     m_div = n // key[2]
                     period = bn // m_div if m_div <= bn else 1
+                    # compact tables carry exactly the [4, period] base block
                     if S % period == 0:
                         b_modes.append(
                             ("tiled",
@@ -883,8 +909,9 @@ class Prover:
                     else:
                         b_modes.append(("arg", None))
             b_iz_args = tuple(
-                jnp.asarray(grp["inv_z"]) for grp, mode in
-                zip(b_struct, b_modes) if mode[0] == "arg")
+                jnp.asarray(np.tile(grp["inv_z"],
+                                    bn // grp["inv_z"].shape[-1]))
+                for grp, mode in zip(b_struct, b_modes) if mode[0] == "arg")
 
             def _sc(tbl, i):
                 """scalar column i of a [4, nch] ladder -> [4, 1]."""

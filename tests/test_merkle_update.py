@@ -31,3 +31,26 @@ def test_merkle_update_wrong_root_rejected():
     bad = (list(ex.md.initial_roots[0]), [ex.md.final_root[0]] * 7)
     with pytest.raises(VerificationError):
         ex.verify(proof, pub_inputs=bad)
+
+
+def test_batched_np_trace_matches_per_row():
+    """build_trace_np_mu must be bit-identical to the per-row tx_rows
+    builder (incl. the row-1 degree-stabilization hack) for a batch above
+    the dispatch threshold."""
+    import numpy as np
+    from certificate_stark_tpu.models import merkle_update as MU
+    from certificate_stark_tpu.ops import field as F
+    from certificate_stark_tpu.utils import witness as W
+
+    md = W.build_random(6, 3, seed=21)
+    txs = md.tx_dicts()
+    all_rows = []
+    for t in txs:
+        all_rows.extend(MU.tx_rows(t["initial_root"], t["s_old"], t["r_old"],
+                                   t["delta"], t["s_idx"], t["r_idx"],
+                                   t["s_path"], t["r_path"], md.depth))
+    all_rows[1][MU.S_BIT] = 1
+    all_rows[1][MU.R_BIT] = 1
+    ref = F.from_int(np.array(all_rows, dtype=object).T)
+    got = MU.build_trace_np_mu(txs, md.depth)
+    assert np.array_equal(ref, got)

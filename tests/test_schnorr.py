@@ -23,3 +23,29 @@ def test_schnorr_wrong_message_rejected():
     bad_msgs = [list(reversed(m)) for m in ex.messages]
     with pytest.raises(VerificationError):
         ex.verify(proof, pub_inputs=(bad_msgs, ex.signatures))
+
+
+def test_batched_np_trace_matches_per_row():
+    """build_trace_np_sig (batched numpy step loop) must be bit-identical to
+    the per-row Python-int builder sig_rows for a >4-signature batch (the
+    dispatch threshold in build_trace)."""
+    import numpy as np
+    from certificate_stark_tpu.models import schnorr as SC
+    from certificate_stark_tpu.ops import field as F
+    from certificate_stark_tpu.utils import curve as CV
+
+    import random
+    rng = random.Random(9)
+    msgs, sigs = [], []
+    for _ in range(6):
+        skey = rng.randrange(1, CV.SCALAR_Q)
+        msg = (CV.pkey_coords(skey)
+               + [rng.randrange(F.P) for _ in range(14)] + [0, 0])[:28]
+        sigs.append(CV.sign(msg, skey, rng))
+        msgs.append(msg)
+    ref_rows = []
+    for m, s in zip(msgs, sigs):
+        ref_rows.extend(SC.sig_rows(m, s))
+    ref = F.from_int(np.array(ref_rows, dtype=object).T)
+    got = SC.build_trace_np_sig(msgs, sigs)
+    assert np.array_equal(ref, got)
