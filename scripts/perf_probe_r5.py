@@ -103,7 +103,7 @@ def probe_ntt(out):
     out["ntt_grouped_matches"] = bool(np.array_equal(ref, got))
 
 
-def probe_eval(out, n_tx=128):
+def probe_eval(out, n_tx=128, depth=15):
     """Packed-mode composition-phase attribution at the n_tx flagship shape."""
     import jax
     import jax.numpy as jnp
@@ -116,9 +116,10 @@ def probe_eval(out, n_tx=128):
     opts = ProofOptions(num_queries=42, blowup=8, hash_fn="blake3",
                         extension_degree=1)
     t0 = time.perf_counter()
-    ex = TX.TransactionExample(n_tx, opts, depth=15, seed=3)
+    ex = TX.TransactionExample(n_tx, opts, depth=depth, seed=3)
     out["witness_s"] = time.perf_counter() - t0
-    air = TX.TransactionAir(1024 * n_tx, ex.pub_inputs(), opts, depth=15)
+    air = TX.TransactionAir(1024 * n_tx, ex.pub_inputs(), opts,
+                            depth=depth)
     t0 = time.perf_counter()
     p = PRmod.Prover(air)
     out["prover_init_s"] = time.perf_counter() - t0
@@ -259,6 +260,7 @@ def main():
     ap.add_argument("--pallas", action="store_true")
     ap.add_argument("--tracegen", action="store_true")
     ap.add_argument("--eval-tx", type=int, default=128)
+    ap.add_argument("--eval-depth", type=int, default=15)
     ap.add_argument("--tracegen-max", type=int, default=1024)
     args = ap.parse_args()
 
@@ -267,7 +269,7 @@ def main():
     if args.ntt:
         probe_ntt(out)
     if args.eval:
-        probe_eval(out, args.eval_tx)
+        probe_eval(out, args.eval_tx, args.eval_depth)
     if args.pallas:
         probe_pallas(out)
     if args.tracegen:
