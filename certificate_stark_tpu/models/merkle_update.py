@@ -89,10 +89,18 @@ def tx_rows(initial_root, s_old, r_old, delta, s_idx, r_idx, s_path, r_path, dep
 def build_trace(txs, depth) -> jnp.ndarray:
     """txs: list of dicts with keys initial_root, s_old, r_old, delta, s_idx,
     r_idx, s_path, r_path. Returns [4, 65, 512*len(txs)]."""
-    if len(txs) > 4:
-        # batched numpy step loop (the per-row Python-int path costs
-        # ~0.2 s/tx and dominated the 128-tx bench warm prove)
-        return jnp.asarray(build_trace_np_mu(txs, depth))
+    import os
+    use_dev = os.environ.get("CSTARK_DEVICE_TRACE")
+    if use_dev is None:
+        import jax
+        use_dev = "1" if jax.default_backend() != "cpu" else "0"
+    if len(txs) > 4 and use_dev != "0":
+        # device scan path reusing the composed merkle lane (the per-row
+        # Python-int path costs ~0.2 s/tx; a batched-numpy variant was
+        # tried and removed — numpy per-call overhead made it slower than
+        # per-row at every measured batch size)
+        from . import trace_device as TD
+        return TD.build_trace_device_mu(txs, depth)
     all_rows = []
     for t in txs:
         all_rows.extend(tx_rows(t["initial_root"], t["s_old"], t["r_old"],
@@ -103,72 +111,6 @@ def build_trace(txs, depth) -> jnp.ndarray:
     all_rows[1][R_BIT] = 1
     arr = np.array(all_rows, dtype=object).T  # [65, 512*n]
     return jnp.asarray(F.from_int(arr))
-
-
-def build_trace_np_mu(txs, depth) -> np.ndarray:
-    """Vectorized standalone merkle-update trace: one numpy step loop over
-    all transaction windows (state [4, 65, T]), batched Rescue rounds over
-    the 4 hash clusters. Bit-identical to the per-row tx_rows builder
-    (tested). Reference counterpart: fragment-parallel fill,
-    update/prover.rs:44-70."""
-    from . import trace_np as TN
-
-    thl = hash_length(depth)
-    T = len(txs)
-    init_rows = []
-    for t in txs:
-        row = [0] * TRACE_WIDTH
-        s_old, r_old, delta = t["s_old"], t["r_old"], t["delta"]
-        row[S_INIT:S_INIT + 14] = [v % F.P for v in s_old]
-        row[S_UPD:S_UPD + 14] = [v % F.P for v in s_old]
-        row[S_UPD + 12] = (s_old[12] - delta) % F.P
-        row[S_UPD + 13] = (s_old[13] + 1) % F.P
-        row[R_INIT:R_INIT + 14] = [v % F.P for v in r_old]
-        row[R_UPD:R_UPD + 14] = [v % F.P for v in r_old]
-        row[R_UPD + 12] = (r_old[12] + delta) % F.P
-        row[PREV_ROOT:PREV_ROOT + 7] = list(t["initial_root"])
-        init_rows.append(row)
-    state = TN._limbs2(np.array(init_rows, dtype=object).T)    # [4, 65, T]
-
-    sibs = {"s": [], "r": []}
-    bits = {"s": [], "r": []}
-    for lvl in range(depth):
-        for side, ikey, pkey in (("s", "s_idx", "s_path"),
-                                 ("r", "r_idx", "r_path")):
-            sibs[side].append(TN._limbs2(np.array(
-                [list(t[pkey][lvl + 1]) for t in txs], dtype=object).T))
-            bits[side].append(np.array(
-                [(t[ikey] >> lvl) & 1 for t in txs], dtype=np.uint32))
-
-    out = np.empty((4, TRACE_WIDTH, T, CYCLE), dtype=np.uint32)
-    out[..., 0] = state
-    for step in range(CYCLE - 1):
-        if step < thl:
-            cyc, pos = divmod(step, 8)
-            if pos < 7:
-                stk = np.stack([state[:, b:b + 14] for b in _CLUSTERS],
-                               axis=1)                       # [4, 4, 14, T]
-                stk = R.apply_round(stk, step, xp=np)
-                for i, b in enumerate(_CLUSTERS):
-                    state[:, b:b + 14] = stk[:, i]
-            else:
-                for base, side in ((S_INIT, "s"), (R_INIT, "r")):
-                    sib, bit = sibs[side][cyc], bits[side][cyc]
-                    bmask = bit[None, None, :] != 0
-                    for reg in (base, base + 15):
-                        digest = state[:, reg:reg + 7].copy()
-                        state[:, reg + 7:reg + 14] = np.where(bmask, digest,
-                                                              sib)
-                        state[:, reg:reg + 7] = np.where(bmask, sib, digest)
-                    state[:, base + 14] = TN._bit_limbs(bit)
-        if step == thl - 1:
-            state[:, PREV_ROOT:PREV_ROOT + 7] = state[:, R_UPD:R_UPD + 7]
-        out[..., step + 1] = state
-    res = out.reshape(4, TRACE_WIDTH, T * CYCLE)
-    # degree-stabilization hack: bit registers = 1 at global row 1
-    res[:, S_BIT, 1] = F.ONE_MONT
-    res[:, R_BIT, 1] = F.ONE_MONT
-    return res
 
 
 # ---------------------------------------------------------------------------

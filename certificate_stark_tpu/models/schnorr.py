@@ -120,97 +120,27 @@ def sig_rows(message28, signature):
 
 
 def build_trace(messages, signatures) -> jnp.ndarray:
-    # batched numpy step-loop for real batch sizes (the per-row Python-int
-    # path costs ~0.4 s/signature — it dominated the 128-sig bench warm
-    # prove); the per-row builder stays as the bit-identity reference
-    if len(signatures) > 4:
-        return jnp.asarray(build_trace_np_sig(messages, signatures))
+    # Device scan path for real batch sizes on accelerators, reusing the
+    # composed window's jitted lanes (trace_device.build_trace_device_sig):
+    # the per-row Python-int path costs ~0.4 s/signature and dominated the
+    # 128-sig bench warm prove. (A batched-numpy variant was tried and
+    # REMOVED: numpy per-call overhead on the [4,*,N] EC steps made it
+    # slower than the per-row loop at every batch size measured — 55 s vs
+    # 8 s at 16 sigs on the r5 chip rerun.) The per-row builder remains the
+    # bit-identity reference and the CPU-backend path.
+    import os
+    use_dev = os.environ.get("CSTARK_DEVICE_TRACE")
+    if use_dev is None:
+        import jax
+        use_dev = "1" if jax.default_backend() != "cpu" else "0"
+    if len(signatures) > 4 and use_dev != "0":
+        from . import trace_device as TD
+        return TD.build_trace_device_sig(messages, signatures)
     all_rows = []
     for msg, sig in zip(messages, signatures):
         all_rows.extend(sig_rows(msg, sig))
     arr = np.array(all_rows, dtype=object).T
     return jnp.asarray(F.from_int(arr))
-
-
-def build_trace_np_sig(messages, signatures) -> np.ndarray:
-    """Vectorized standalone-schnorr trace: one numpy step loop advances all
-    signature windows at once (state [4, 56, N]), using the same batched
-    field/EC kernels as the composed-trace lane (trace_np.py). Bit-identical
-    to the sig_rows per-row builder (tested in tests/test_schnorr.py).
-    Reference counterpart: fragment-parallel fill, schnorr/prover.rs:44-65."""
-    from ..engine.fieldops import NP
-    from . import trace_np as TN
-
-    N = len(signatures)
-    pk_rows, sbit_rows, hbit_rows, rx_rows = [], [], [], []
-    for msg, sig in zip(messages, signatures):
-        pk, s_bits_i, h_bits_i = build_sig_info(msg, sig)
-        pk_rows.append(pk)
-        sbit_rows.append(s_bits_i)
-        hbit_rows.append(h_bits_i)
-        rx_rows.append([int(v) % F.P for v in sig[0]])
-    pkey12 = TN._limbs2(np.array(pk_rows, dtype=object).T)     # [4, 12, N]
-    s_bits = np.array(sbit_rows, dtype=np.uint32).T            # [256, N]
-    h_bits = np.array(hbit_rows, dtype=np.uint32).T
-    rx6 = TN._limbs2(np.array(rx_rows, dtype=object).T)        # [4, 6, N]
-    msg_chunks = [TN._limbs2(np.array(
-        [[int(v) % F.P for v in m[7 * k:7 * k + 7]] for m in messages],
-        dtype=object).T) for k in range(4)]
-    gen12 = np.broadcast_to(
-        F.from_int(np.array(_gen12(), dtype=object))[:, :, None], (4, 12, N))
-    b3 = np.broadcast_to(
-        F.from_int(np.array(CV.B3_LIMBS, dtype=object))[:, :, None],
-        (4, 6, N))
-
-    state = np.zeros((4, TRACE_WIDTH, N), dtype=np.uint32)
-    state[:, PCW] = F.ONE_MONT[:, None]                  # y(S) = 1
-    state[:, PPW + 1 + PCW] = F.ONE_MONT[:, None]        # y(h.P) = 1
-    state[:, 42:48] = rx6
-    out = np.empty((4, TRACE_WIDTH, N, SIG_CYCLE), dtype=np.uint32)
-    out[..., 0] = state
-
-    for step in range(SIG_CYCLE - 1):
-        # hash lane (sig_step steps 0..39)
-        if step < 8 * NUM_HASH_ITER:
-            rs = step % 8
-            if rs < 7:
-                state[:, 42:56] = R.apply_round(state[:, 42:56], step, xp=np)
-            elif step < (NUM_HASH_ITER - 1) * 8:
-                state[:, 49:56] = msg_chunks[step // 8]
-            else:
-                state[:, 49:56] = 0
-        # scalar-mul lane
-        if step < SCALAR_MUL_LENGTH:
-            real = step // 2
-            chunk = 0 if real < 63 else (real - 63) // 64 + 1
-            sb = s_bits[254 - real]
-            hb = h_bits[254 - real]
-            state[:, PPW] = TN._bit_limbs(sb)
-            state[:, 2 * PPW + 1] = TN._bit_limbs(hb)
-            if step % 2 == 0:
-                pts = np.stack([state[:, 0:18], state[:, 19:37]], axis=1)
-                dbl = E.compute_double(NP, pts, b3[:, None])
-                state[:, 0:18] = dbl[:, 0]
-                state[:, 19:37] = dbl[:, 1]
-                vp = 41 - chunk
-                state[:, vp] = F.add(
-                    F.add(state[:, vp], state[:, vp], np), state[:, 37], np)
-            else:
-                added = E.compute_add_mixed(NP, state[:, 0:18], gen12, b3)
-                state[:, 0:18] = np.where(sb[None, None, :] != 0, added,
-                                          state[:, 0:18])
-                added2 = E.compute_add_mixed(NP, state[:, 19:37], pkey12, b3)
-                state[:, 19:37] = np.where(hb[None, None, :] != 0, added2,
-                                           state[:, 19:37])
-        elif step == SCALAR_MUL_LENGTH:
-            hp = state[:, 19:37].copy()
-            state[:, PPW] = F.ONE_MONT[:, None]
-            state[:, 0:18] = E.compute_add(NP, state[:, 0:18], hp, b3)
-            zinv = E.f6_inv(NP, state[:, 12:18])
-            state[:, 0:6] = E.f6_mul(NP, state[:, 0:6], zinv)
-        out[..., step + 1] = state
-    # signature-major windows: row index = sig*512 + step
-    return out.reshape(4, TRACE_WIDTH, N * SIG_CYCLE)
 
 
 def evaluate_schnorr(fx, current, nxt, agg, ark0, ark1, doubling, addition,

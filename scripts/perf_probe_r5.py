@@ -173,6 +173,36 @@ def probe_eval(out, n_tx=128, depth=15):
     t = bench(one_chunk, lde_p, jnp.int32(3), per, p._b_evals)
     out["one_chunk_unpack_eval_s"] = t
 
+    # (b2) one FULL chunk body (unpack + eval + chunk tables + pointwise
+    #      composition) standalone — the exact lax.map body of
+    #      phase_composition_p, outside the map
+    import functools
+
+    @jax.jit
+    def one_chunk_full(lde_p_, i, per_, bev):
+        comp = p.phase_composition_p  # noqa: F841 (kernel already built)
+        # rebuild the body inline via the prover's cached closures
+        st = i * S
+        cur = PRmod.F.unpack2(jax.lax.dynamic_slice(
+            lde_p_, (0, 0, st), (2, w, S)))
+        nx = PRmod.F.unpack2(jax.lax.dynamic_slice(
+            lde_p_, (0, 0, st + p.b), (2, w, S)))
+        ev = air.evaluate_transition(BASE, cur, nx, per_)
+        if isinstance(ev, (list, tuple)):
+            ev = jnp.stack(ev, axis=1)
+        # pointwise composition with in-graph chunk tables is private to the
+        # phase closure; approximate its cost with the alpha dot alone
+        qd = ev[:, :, None, :]
+        coeffs = jnp.concatenate([ta, tb], axis=2)
+        dots = PRmod.F.mul_sum(qd, coeffs[:, :, :, None], axis=1)
+        return dots
+
+    try:
+        t = bench(one_chunk_full, lde_p, jnp.int32(3), per, p._b_evals)
+        out["one_chunk_eval_plus_dot_s"] = t
+    except Exception as e:  # noqa: BLE001
+        out["one_chunk_eval_plus_dot_s"] = f"FAIL {type(e).__name__}: {e}"
+
     # (c) unpack-only
     @jax.jit
     def unpack_only(lde_p_, i):

@@ -33,10 +33,10 @@ def test_merkle_update_wrong_root_rejected():
         ex.verify(proof, pub_inputs=bad)
 
 
-def test_batched_np_trace_matches_per_row():
-    """build_trace_np_mu must be bit-identical to the per-row tx_rows
-    builder (incl. the row-1 degree-stabilization hack) for a batch above
-    the dispatch threshold."""
+def test_device_mu_trace_matches_per_row():
+    """build_trace_device_mu (composed-lane reuse) must be bit-identical to
+    the per-row tx_rows builder (incl. the row-1 degree-stabilization hack)
+    for a batch above the accelerator dispatch threshold."""
     import numpy as np
     from certificate_stark_tpu.models import merkle_update as MU
     from certificate_stark_tpu.ops import field as F
@@ -52,5 +52,6 @@ def test_batched_np_trace_matches_per_row():
     all_rows[1][MU.S_BIT] = 1
     all_rows[1][MU.R_BIT] = 1
     ref = F.from_int(np.array(all_rows, dtype=object).T)
-    got = MU.build_trace_np_mu(txs, md.depth)
+    from certificate_stark_tpu.models import trace_device as TD
+    got = np.asarray(TD.build_trace_device_mu(txs, md.depth))
     assert np.array_equal(ref, got)

@@ -25,10 +25,10 @@ def test_schnorr_wrong_message_rejected():
         ex.verify(proof, pub_inputs=(bad_msgs, ex.signatures))
 
 
-def test_batched_np_trace_matches_per_row():
-    """build_trace_np_sig (batched numpy step loop) must be bit-identical to
+def test_device_sig_trace_matches_per_row():
+    """build_trace_device_sig (composed-lane reuse) must be bit-identical to
     the per-row Python-int builder sig_rows for a >4-signature batch (the
-    dispatch threshold in build_trace)."""
+    accelerator dispatch threshold in build_trace)."""
     import numpy as np
     from certificate_stark_tpu.models import schnorr as SC
     from certificate_stark_tpu.ops import field as F
@@ -47,5 +47,6 @@ def test_batched_np_trace_matches_per_row():
     for m, s in zip(msgs, sigs):
         ref_rows.extend(SC.sig_rows(m, s))
     ref = F.from_int(np.array(ref_rows, dtype=object).T)
-    got = SC.build_trace_np_sig(msgs, sigs)
+    from certificate_stark_tpu.models import trace_device as TD
+    got = np.asarray(TD.build_trace_device_sig(msgs, sigs))
     assert np.array_equal(ref, got)
