@@ -173,9 +173,54 @@ def apply_round(state, round_idx: int, xp=jnp):
     return state
 
 
+def _pallas_perm_min() -> int:
+    """Batch threshold above which the fused Pallas permutation kernel
+    replaces the XLA path on TPU. Measured on v5e (r5 probe,
+    scripts/perf_probe_r5.py --pallas): XLA 699 K perms/s at batch 4k but
+    only 110 K at 64k (the byte-plane MDS working set falls out of VMEM);
+    the Pallas kernel holds ~205 K perms/s flat (VMEM-resident state across
+    all 7 rounds) and wins 1.87x at 64k. 0 disables."""
+    import os
+    global _PALLAS_MIN
+    if _PALLAS_MIN is None:
+        _PALLAS_MIN = int(os.environ.get("CSTARK_RESCUE_PALLAS_MIN", "32768"))
+    return _PALLAS_MIN
+
+
+_PALLAS_MIN = None
+
+
+def _try_pallas_perm(state):
+    thr = _pallas_perm_min()
+    if thr <= 0 or state.ndim < 3 or state.shape[:2] != (4, 14):
+        return None
+    lead = state.shape[2:]
+    n = 1
+    for d in lead:
+        n *= d
+    if n < thr:
+        return None
+    try:
+        import jax as _jax
+        if _jax.default_backend() == "cpu":
+            return None
+        from . import pallas_kernels as PK
+        if n % PK.RESCUE_BLK:
+            return None
+        out = PK.pallas_rescue_permutation(state.reshape(4, 14, n))
+        return out.reshape(state.shape)
+    except Exception:  # noqa: BLE001 — fall back to the XLA path
+        return None
+
+
 def permutation(state):
     """Full 7-round permutation as a fori_loop (one compiled round body —
-    keeps kernel graphs small enough for fast XLA compiles)."""
+    keeps kernel graphs small enough for fast XLA compiles). Large batches
+    on TPU dispatch to the fused Pallas kernel (_try_pallas_perm) — 1.87x
+    the XLA path at the 64k commit-batch cliff, bit-identical (tested)."""
+    pk = _try_pallas_perm(state)
+    if pk is not None:
+        return pk
     ark_tbl = jnp.asarray(ARK)  # [4, 8, 28]
 
     def body(r, st):
