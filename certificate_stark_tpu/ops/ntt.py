@@ -15,6 +15,7 @@ Design notes (TPU):
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from . import field as F
@@ -100,6 +101,13 @@ def ntt(a: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
     Inverse maps evaluations -> coefficients (includes the 1/n scale).
 
     Dispatch (bit-identical variants):
+      * batched transforms whose total working set exceeds VMEM scale are
+        lax.map'ed over lead-axis groups of ~2^20 elements each
+        (_GROUP_ELEMS): measured on v5e (scripts/perf_probe_r5 --ntt) the
+        ungrouped [94, 2^17] batch runs 0.73 G butterflies/s while 8-column
+        groups run 3.96 G — per-stage working sets stream HBM once they
+        outgrow VMEM. Applies recursively to the four-step's inner legs, so
+        big single-column transforms (2^22+) gain too.
       * accelerator + n >= _FOUR_STEP_MIN -> Bailey four-step (measured ~8x
         the radix-2 butterfly on v5e at 2^20: 2.6 ms vs 21.4 ms — each
         sqrt(n)-sized sub-transform keeps its twiddle slice and rows
@@ -115,6 +123,50 @@ def ntt(a: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
     """
     if a.shape[-1] >= _DFT_MIN and _use_mxu_ntt():
         return ntt_mxu(a, inverse)
+    n = a.shape[-1]
+    lead = a.shape[1:-1]
+    C = 1
+    for d in lead:
+        C *= d
+    if C > 1 and C * n > 2 * _GROUP_ELEMS and _use_group():
+        wc = max(1, _GROUP_ELEMS // n)
+        if C > wc:
+            flat = a.reshape(4, C, n)
+            pad = (-C) % wc
+            if pad:
+                flat = jnp.pad(flat, ((0, 0), (0, pad), (0, 0)))
+            g = flat.reshape(4, -1, wc, n).transpose(1, 0, 2, 3)
+            o = jax.lax.map(lambda x: _ntt_single(x, inverse), g)
+            o = o.transpose(1, 0, 2, 3).reshape(4, -1, n)[:, :C]
+            return o.reshape(a.shape)
+    return _ntt_single(a, inverse)
+
+
+# per-group transform working set target for the grouped batch dispatch:
+# r5 probe showed a flat optimum at wc*n ~ 2^18..2^20 (16 MB of limb data)
+# with sharp falloff above (grp16 at 2^17 already 3x slower than grp8)
+_GROUP_ELEMS = 1 << 20
+_USE_GROUP = None
+
+
+def _use_group() -> bool:
+    global _USE_GROUP
+    if _USE_GROUP is None:
+        import os
+        v = os.environ.get("CSTARK_NTT_GROUP")
+        if v is not None:
+            _USE_GROUP = v != "0"
+        else:
+            try:
+                import jax as _jax
+                _USE_GROUP = _jax.default_backend() != "cpu"
+            except Exception:  # noqa: BLE001
+                _USE_GROUP = False
+    return _USE_GROUP
+
+
+def _ntt_single(a: jnp.ndarray, inverse: bool) -> jnp.ndarray:
+    """Ungrouped dispatch (four-step or radix-2) for one lead group."""
     if _use_four_step(a.shape[-1]):
         return ntt_four_step(a, inverse)
     return _ntt_butterfly(a, inverse)
