@@ -41,7 +41,13 @@ class _PhaseTimer:
     """Per-phase wall spans, mirroring the reference's Instant + log::debug
     instrumentation around each proving phase (src/lib.rs:118-137). Device
     arrays are synced before reading the clock ONLY when debug logging is on,
-    so the instrumented path costs nothing in production (no barriers)."""
+    so the instrumented path costs nothing in production (no barriers).
+
+    Sync is a 1-element device->host READBACK, not block_until_ready: through
+    the axon remote tunnel block_until_ready returns before execution
+    finishes, which silently shifted whole phases into the NEXT span (the
+    round-4 1024-tx profile attributed ~530 s of trace-commit hashing to
+    'coin + coeff draws' — found by the r5 instrumented run)."""
 
     def __init__(self):
         self.enabled = logger.isEnabledFor(logging.DEBUG)
@@ -51,7 +57,10 @@ class _PhaseTimer:
         if not self.enabled:
             return
         for a in arrays:
-            jax.block_until_ready(a)
+            try:
+                np.asarray(a[(slice(0, 1),) * a.ndim])
+            except TypeError:
+                jax.block_until_ready(a)
         now = time.perf_counter()
         logger.debug("%-22s %8.1f ms", label, (now - self.t) * 1e3)
         self.t = now
