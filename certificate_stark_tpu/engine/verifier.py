@@ -287,12 +287,50 @@ def _periodic_values_at_ext(air, z, d, mul, add, lift, powi):
     if cols is None:
         return None
     n = air.trace_length
+    cols = np.asarray(cols, dtype=object)
+    if d == 1:
+        # base-field fast path: batched native iNTT + numpy Montgomery dot.
+        # The Python-int iNTT+Horner below is O(C * t log t) host work —
+        # 10.9 s of the schnorr-128 verify (56 full-trace-length pkey
+        # columns at t = 65536) before round 5.
+        try:
+            from ..utils import native as NAT
+            if NAT.available():
+                return _periodic_values_native(cols, n, int(z[0]))
+        except Exception:  # noqa: BLE001 — fall back to the int path
+            pass
     out = []
-    for col in np.asarray(cols, dtype=object):
+    for col in cols:
         coeffs = PH.intt([int(v) % F.P for v in col])
         y = powi(z, n // len(col))
         acc = lift(0)
         for c in reversed(coeffs):
             acc = add(mul(acc, y), lift(c))
         out.append(list(acc))
+    return out
+
+
+def _periodic_values_native(cols, n, z):
+    """Batched periodic-column evaluation at base point z: per distinct
+    column length, one native iNTT over all columns + one numpy limb dot
+    with the z-powers table. Identical values to the Python path."""
+    from ..ops import ntt as NTT
+    from ..utils import native as NAT
+
+    by_len = {}
+    for i, col in enumerate(cols):
+        by_len.setdefault(len(col), []).append(i)
+    out = [None] * len(cols)
+    for t, idxs in by_len.items():
+        arr = np.array([[int(v) % F.P for v in cols[i]] for i in idxs],
+                       dtype=object)
+        u = F.pack_u64(F.from_int(arr))                      # [C, t] mont
+        coeffs = F.unpack_u64(NAT.intt_coset_batch(u, 1))    # [4, C, t]
+        y = pow(z, n // t, F.P)
+        ytbl = F.unpack_u64(NAT.powers_mont(y, t))           # [4, t]
+        prod = F.mul(coeffs, np.broadcast_to(ytbl[:, None], coeffs.shape),
+                     np)
+        vals = F.to_int(NTT.sum_reduce(prod, xp=np))         # [C] ints
+        for c, i in enumerate(idxs):
+            out[i] = [int(vals[c])]
     return out
