@@ -31,6 +31,11 @@ def run_composition(chunk, n_tx=32, backend=None):
     env = dict(os.environ, CSTARK_EVAL_CHUNK=str(chunk))
     if backend:
         env["JAX_PLATFORMS"] = backend
+        if backend == "cpu":
+            # the axon sitecustomize grabs the TPU tunnel when this is set,
+            # regardless of JAX_PLATFORMS — the "CPU ground truth" worker
+            # must not touch the device
+            env.pop("PALLAS_AXON_POOL_IPS", None)
     import hashlib
     import subprocess
     code = r"""
